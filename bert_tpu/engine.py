@@ -1,0 +1,129 @@
+"""The public embedding engine — TPU-native counterpart of the reference's
+C API surface (bert.h:33-82):
+
+  reference                      bert_tpu.BertTPU
+  ---------                      ----------------
+  bert_load_from_file            BertTPU.from_file(path)
+  bert_free                      (GC'd; XLA owns buffers)
+  bert_tokenize                  .tokenize(text)
+  bert_encode                    .encode(text)
+  bert_encode_batch              .encode_batch(texts)
+  bert_eval / bert_eval_batch    .eval_tokens(token_lists)
+  bert_n_embd                    .n_embd
+  bert_n_max_tokens              .n_max_tokens
+  bert_vocab_id_to_token         .id_to_token(id)
+
+Differences by design: batching actually works (the reference forces
+n_batch_size=1, bert.cpp:961 — its "longest input first" contract,
+bert.h:70, is obsolete here), every bucket shape is jit-compiled once, and
+evaluation runs on the TPU's MXU instead of a pthread pool.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .batching import default_seq_buckets, plan_buckets
+from .loader import LoadedModel, load_model
+from .model import bert_forward
+from .params import BertConfig
+from .tokenizer import WordPieceTokenizer
+
+
+class BertTPU:
+    """Sentence-embedding engine for BERT-family encoders on TPU."""
+
+    def __init__(
+        self,
+        loaded: LoadedModel,
+        *,
+        compute_dtype: Optional[Any] = None,
+        use_pallas: Optional[bool] = None,
+        max_batch: int = 128,
+        seq_buckets: Optional[Sequence[int]] = None,
+    ):
+        self.config: BertConfig = loaded.config
+        self.vocab = loaded.vocab
+        self.tokenizer = WordPieceTokenizer(loaded.vocab)
+        if compute_dtype is None:
+            compute_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                             else jnp.float32)
+        self.compute_dtype = compute_dtype
+        self.use_pallas = use_pallas
+        self.max_batch = max_batch
+        self.seq_buckets = list(seq_buckets) if seq_buckets is not None else \
+            default_seq_buckets(self.config.n_max_tokens)
+        # one host→device transfer at init; jit calls then hit by reference
+        self.params = jax.device_put(loaded.params)
+        self._encode_jit = jax.jit(
+            functools.partial(
+                bert_forward,
+                config=self.config,
+                compute_dtype=self.compute_dtype,
+                use_pallas=self.use_pallas,
+            )
+        )
+
+    # -- constructors --------------------------------------------------------
+    @classmethod
+    def from_file(cls, path: str, quantize_ftype: Optional[int] = None,
+                  **kw) -> "BertTPU":
+        return cls(load_model(path, quantize_ftype=quantize_ftype), **kw)
+
+    # -- introspection (bert.h:79-82) ---------------------------------------
+    @property
+    def n_embd(self) -> int:
+        return self.config.n_embd
+
+    @property
+    def n_max_tokens(self) -> int:
+        return self.config.n_max_tokens
+
+    def id_to_token(self, token_id: int) -> Optional[str]:
+        return self.vocab.id_to_token(token_id)
+
+    # -- tokenize ------------------------------------------------------------
+    def tokenize(self, text: str) -> List[int]:
+        return self.tokenizer.tokenize(text, self.config.n_max_tokens)
+
+    # -- evaluation ----------------------------------------------------------
+    def eval_tokens(self, token_lists: Sequence[Sequence[int]]) -> np.ndarray:
+        """Embed pre-tokenized inputs; returns [n, n_embd] f32 (L2-normed)."""
+        n = len(token_lists)
+        out = np.empty((n, self.config.n_embd), dtype=np.float32)
+        plan = plan_buckets([len(t) for t in token_lists],
+                            self.seq_buckets, self.max_batch)
+        for seq_b, batch_b, idxs in plan.groups:
+            ids, mask = self.tokenizer.pad_batch(
+                [token_lists[i] for i in idxs], seq_b, batch_size=batch_b
+            )
+            emb = self._encode_jit(self.params, jnp.asarray(ids),
+                                   jnp.asarray(mask))
+            out[np.asarray(idxs)] = np.asarray(emb[: len(idxs)])
+        return out
+
+    def encode_batch(self, texts: Sequence[str]) -> np.ndarray:
+        """Tokenize + embed a batch of sentences (bert_encode_batch)."""
+        toks = [self.tokenize(t) for t in texts]
+        return self.eval_tokens(toks)
+
+    def encode(self, text: str) -> np.ndarray:
+        """Single-sentence convenience (bert_encode, bert.cpp:943-950)."""
+        return self.encode_batch([text])[0]
+
+    # -- warmup --------------------------------------------------------------
+    def warmup(self, batch_sizes: Optional[Sequence[int]] = None) -> None:
+        """Pre-compile the bucket grid to avoid first-request latency."""
+        if batch_sizes is None:
+            batch_sizes = [1, self.max_batch]
+        for t in self.seq_buckets:
+            for b in batch_sizes:
+                ids = np.zeros((b, t), dtype=np.int32)
+                mask = np.ones((b, t), dtype=np.float32)
+                self._encode_jit(self.params, jnp.asarray(ids),
+                                 jnp.asarray(mask)).block_until_ready()

@@ -1,0 +1,152 @@
+"""Model loading: ggml-bin files and HF checkpoint directories → params pytree.
+
+The TPU-native counterpart of ``bert_load_from_file`` (bert.cpp:331-694):
+instead of streaming weights into a ggml arena, tensors are validated against
+the expected name/shape inventory (bert.cpp:503-553) and assembled into the
+stacked scan-ready pytree of bert_tpu.params. Q4 tensors from ggml files are
+REPACKED bit-exactly (no dequant/requant) into the MXU-tiled
+:class:`~bert_tpu.quant.QuantTensor` layout.
+
+Embedding tables are always densified at load (gathers want dense rows; the
+numeric values equal ggml's per-use dequantization, so quality is identical).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from .formats.ggml_bin import GgmlModelFile, read_ggml
+from .params import (
+    BertConfig,
+    expected_tensor_names,
+    params_from_named_tensors,
+    _LAYER_WEIGHTS,
+    _MATMUL_KEYS,
+    _EMB_WEIGHTS,
+)
+from .quant import (
+    GGML_FTYPE_Q4_0,
+    GGML_FTYPE_Q4_1,
+    QuantTensor,
+    repack_codes_tpu,
+)
+from .vocab import Vocab
+
+
+@dataclass
+class LoadedModel:
+    config: BertConfig
+    params: Dict[str, Any]
+    vocab: Vocab
+
+
+def _stack_quant(qts) -> QuantTensor:
+    return QuantTensor(
+        packed=np.stack([q.packed for q in qts]),
+        scales=np.stack([q.scales for q in qts]),
+        mins=(np.stack([q.mins for q in qts])
+              if qts[0].mins is not None else None),
+    )
+
+
+def params_from_ggml(mf: GgmlModelFile) -> Tuple[BertConfig, Dict[str, Any]]:
+    config = BertConfig.from_hparams(mf.hparams)
+
+    missing = [n for n in expected_tensor_names(config) if n not in mf.tensors]
+    if missing:
+        raise ValueError(f"model file missing tensors: {missing[:5]}...")
+
+    emb = {}
+    for key, name in _EMB_WEIGHTS.items():
+        emb[key] = mf.tensors[name].to_f32()
+
+    layers: Dict[str, Any] = {}
+    for key, tmpl in _LAYER_WEIGHTS.items():
+        recs = [mf.tensors[tmpl.format(i=i)] for i in range(config.n_layer)]
+        if key in _MATMUL_KEYS and recs[0].ftype in (GGML_FTYPE_Q4_0,
+                                                     GGML_FTYPE_Q4_1):
+            # file stores [out, in] with q4 blocks along in (= ggml ne[0]);
+            # repack_codes_tpu transposes to logical W[in, out] bit-exactly.
+            qts = [repack_codes_tpu(r.codes, r.scales, r.mins) for r in recs]
+            layers[key] = _stack_quant(qts)
+        elif key in _MATMUL_KEYS:
+            layers[key] = np.stack([r.to_f32().T for r in recs])
+        else:
+            layers[key] = np.stack([r.to_f32() for r in recs])
+
+    return config, {"embeddings": emb, "layers": layers}
+
+
+def load_ggml_model(path: str) -> LoadedModel:
+    mf = read_ggml(path)
+    config, params = params_from_ggml(mf)
+    vocab = Vocab.from_tokens(mf.vocab_tokens)
+    return LoadedModel(config=config, params=params, vocab=vocab)
+
+
+def load_hf_model(model_dir: str,
+                  quantize_ftype: Optional[int] = None) -> LoadedModel:
+    """Load a HuggingFace BERT checkpoint directory directly (no ggml-bin
+    intermediate) — covers the converter's input side (convert-to-ggml.py).
+
+    Skips ``embeddings.position_ids`` and ``pooler.dense.*`` exactly like the
+    converter (convert-to-ggml.py:86-87).
+    """
+    import json
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf_cfg = json.load(f)
+    config = BertConfig(
+        n_vocab=hf_cfg["vocab_size"],
+        n_max_tokens=hf_cfg["max_position_embeddings"],
+        n_embd=hf_cfg["hidden_size"],
+        n_intermediate=hf_cfg["intermediate_size"],
+        n_head=hf_cfg["num_attention_heads"],
+        n_layer=hf_cfg["num_hidden_layers"],
+        ftype=quantize_ftype or 0,
+    )
+
+    named = _hf_state_dict(model_dir)
+    named = {
+        k: v for k, v in named.items()
+        if k not in ("embeddings.position_ids", "pooler.dense.weight",
+                     "pooler.dense.bias")
+    }
+    params = params_from_named_tensors(named, config,
+                                       quantize_ftype=quantize_ftype)
+    vocab = Vocab.from_vocab_txt(os.path.join(model_dir, "vocab.txt"))
+    return LoadedModel(config=config, params=params, vocab=vocab)
+
+
+def _hf_state_dict(model_dir: str) -> Dict[str, np.ndarray]:
+    """Read HF weights from safetensors or torch .bin, squeezing like the
+    converter does (convert-to-ggml.py:85)."""
+    st_path = os.path.join(model_dir, "model.safetensors")
+    if os.path.exists(st_path):
+        from safetensors.numpy import load_file
+
+        raw = load_file(st_path)
+    else:
+        import torch
+
+        bin_path = os.path.join(model_dir, "pytorch_model.bin")
+        sd = torch.load(bin_path, map_location="cpu", weights_only=True)
+        raw = {k: v.numpy() for k, v in sd.items()}
+    # strip the "bert." prefix some checkpoints carry
+    out = {}
+    for k, v in raw.items():
+        k = k[5:] if k.startswith("bert.") else k
+        out[k] = np.asarray(v).squeeze()
+    return out
+
+
+def load_model(path: str,
+               quantize_ftype: Optional[int] = None) -> LoadedModel:
+    """Dispatch: ggml-bin file vs HF directory."""
+    if os.path.isdir(path):
+        return load_hf_model(path, quantize_ftype=quantize_ftype)
+    return load_ggml_model(path)

@@ -1,0 +1,173 @@
+"""Batched, masked BERT encoder forward — the TPU-native replacement for the
+reference's per-sentence ggml graph (bert.cpp:720-941, SURVEY.md §3.3).
+
+Design (idiomatic JAX, not a ggml translation):
+  * one pure function traced once under ``jax.jit`` per (B, T) bucket —
+    XLA buffer assignment replaces the reference's arena/scratch planner
+    (bert.cpp:678-713 disappears entirely);
+  * all L layers are stacked and driven by ``lax.scan`` (single-trace,
+    compile-time O(1) in depth, stacked leaves shard cleanly);
+  * attention-masked and batch-padded from day one (the reference loops
+    sentences serially with exact shapes, bert.cpp:749-750);
+  * mean pooling + L2 normalization live in-graph, as in the reference
+    (bert.cpp:906-913, SentenceTransformers semantics hardcoded);
+  * weights may be dense (f32/bf16) or weight-only INT4
+    :class:`~bert_tpu.quant.QuantTensor` leaves, dispatched to the fused
+    Pallas dequant+matmul;
+  * for tensor parallelism the function takes an optional mesh axis name:
+    inside ``shard_map`` the row-parallel projections (attention output,
+    FFN down) finish with a ``psum`` over that axis — the GSPMD/scaling-book
+    recipe, not a NCCL translation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .ops.attention import NEG_INF, multi_head_attention
+from .ops.q4_matmul import q4_matmul
+from .params import BertConfig
+from .quant import QuantTensor
+
+
+def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
+               eps: float) -> jax.Array:
+    """LayerNorm over the last axis, computed in f32 (bert.cpp:806-814)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale + bias).astype(x.dtype)
+
+
+def dense(x: jax.Array, w, b: Optional[jax.Array] = None, *,
+          use_pallas: Optional[bool] = None) -> jax.Array:
+    """``x @ W (+ b)`` where W is dense or a QuantTensor (INT4)."""
+    shape = x.shape
+    x2 = x.reshape(-1, shape[-1])
+    if isinstance(w, QuantTensor):
+        y = q4_matmul(x2, w, use_pallas=use_pallas).astype(x.dtype)
+        n = w.n
+    else:
+        y = jnp.dot(x2, w.astype(x.dtype), preferred_element_type=jnp.float32
+                    ).astype(x.dtype)
+        n = w.shape[-1]
+    y = y.reshape(*shape[:-1], n)
+    if b is not None:
+        y = y + b.astype(x.dtype)
+    return y
+
+
+def embed(params_emb: Dict[str, Any], token_ids: jax.Array,
+          config: BertConfig, dtype) -> jax.Array:
+    """Token + token-type(0) + position embeddings, then LayerNorm
+    (bert.cpp:784-814). token_type_ids are always 0, as in the reference
+    (bert.cpp:787-788)."""
+    t = token_ids.shape[-1]
+    word = jnp.asarray(params_emb["word"])
+    x = word[token_ids].astype(dtype)
+    x = x + jnp.asarray(params_emb["token_type"])[0].astype(dtype)
+    x = x + jnp.asarray(params_emb["position"])[:t].astype(dtype)
+    return layer_norm(x, params_emb["ln_scale"], params_emb["ln_bias"],
+                      config.layer_norm_eps)
+
+
+def encoder_layer(
+    x: jax.Array,
+    lp: Dict[str, Any],
+    mask_bias: jax.Array,
+    config: BertConfig,
+    *,
+    use_pallas: Optional[bool] = None,
+    tp_axis: Optional[str] = None,
+) -> jax.Array:
+    """One transformer encoder block (bert.cpp:816-903).
+
+    Under tensor parallelism (``tp_axis`` set, inside shard_map), the QKV and
+    FFN-up weights are column-sharded and the output/FFN-down weights are
+    row-sharded, so each of the two residual branches ends with one psum.
+    """
+    b, t, _ = x.shape
+    h = config.n_head
+    # local head count: under TP the stacked QKV out-dim is sharded h/tp ways
+    def heads(y):
+        dh = config.d_head
+        hl = y.shape[-1] // dh
+        return y.reshape(b, t, hl, dh).transpose(0, 2, 1, 3)
+
+    q = heads(dense(x, lp["q_w"], lp["q_b"], use_pallas=use_pallas))
+    k = heads(dense(x, lp["k_w"], lp["k_b"], use_pallas=use_pallas))
+    v = heads(dense(x, lp["v_w"], lp["v_b"], use_pallas=use_pallas))
+
+    scale = 1.0 / (config.d_head ** 0.5)  # bert.cpp:848
+    ctx = multi_head_attention(q, k, v, mask_bias, scale=scale,
+                               use_pallas=use_pallas)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, -1)
+
+    att_out = dense(ctx, lp["o_w"], None, use_pallas=use_pallas)
+    if tp_axis is not None:
+        att_out = jax.lax.psum(att_out, tp_axis)
+    att_out = att_out + lp["o_b"].astype(x.dtype)
+    x = layer_norm(att_out + x, lp["ln_att_scale"], lp["ln_att_bias"],
+                   config.layer_norm_eps)  # residual 1, bert.cpp:859-875
+
+    hgate = dense(x, lp["ff_i_w"], lp["ff_i_b"], use_pallas=use_pallas)
+    hgate = jax.nn.gelu(hgate, approximate=config.gelu_approx)  # bert.cpp:882
+    ff_out = dense(hgate, lp["ff_o_w"], None, use_pallas=use_pallas)
+    if tp_axis is not None:
+        ff_out = jax.lax.psum(ff_out, tp_axis)
+    ff_out = ff_out + lp["ff_o_b"].astype(x.dtype)
+    return layer_norm(ff_out + x, lp["ln_out_scale"], lp["ln_out_bias"],
+                      config.layer_norm_eps)  # residual 2, bert.cpp:885-901
+
+
+def mean_pool_l2(x: jax.Array, mask: jax.Array) -> jax.Array:
+    """Masked mean pool + L2 normalize, in f32 (bert.cpp:906-913)."""
+    xf = x.astype(jnp.float32)
+    m = mask.astype(jnp.float32)[..., None]
+    denom = jnp.maximum(jnp.sum(m, axis=-2), 1.0)
+    pooled = jnp.sum(xf * m, axis=-2) / denom
+    norm = jnp.sqrt(jnp.sum(jnp.square(pooled), axis=-1, keepdims=True))
+    return pooled / jnp.maximum(norm, 1e-12)
+
+
+def bert_forward(
+    params: Dict[str, Any],
+    token_ids: jax.Array,
+    mask: jax.Array,
+    config: BertConfig,
+    *,
+    compute_dtype=jnp.float32,
+    use_pallas: Optional[bool] = None,
+    tp_axis: Optional[str] = None,
+) -> jax.Array:
+    """token_ids [B, T] int32, mask [B, T] → L2-normalized embeddings
+    [B, n_embd] f32. The full SURVEY.md §3.3 graph, batched."""
+    x = embed(params["embeddings"], token_ids, config, compute_dtype)
+    # 0 for real tokens, NEG_INF for padding
+    mask_bias = (mask.astype(jnp.float32) - 1.0) * (-NEG_INF)
+
+    step = functools.partial(
+        encoder_layer, mask_bias=mask_bias, config=config,
+        use_pallas=use_pallas, tp_axis=tp_axis,
+    )
+
+    def body(carry, lp):
+        return step(carry, lp), None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    return mean_pool_l2(x, mask)
+
+
+def make_encode_fn(config: BertConfig, *, compute_dtype=jnp.float32,
+                   use_pallas: Optional[bool] = None):
+    """jit-ready closure: (params, token_ids, mask) → embeddings."""
+    def fn(params, token_ids, mask):
+        return bert_forward(params, token_ids, mask, config,
+                            compute_dtype=compute_dtype,
+                            use_pallas=use_pallas)
+    return fn

@@ -1,0 +1,213 @@
+"""Model parameter pytrees: HF-named tensors → stacked, scan-ready JAX trees.
+
+Replaces the reference's per-layer tensor structs and name→tensor map
+(bert.cpp:29-81,493-554) with an idiomatic JAX design: all L layers of each
+weight are stacked along a leading axis so the encoder can ``lax.scan`` over
+layers (one trace, one compile, clean sharding of the stacked leaves).
+
+Weight convention: dense weights are stored as ``W[in, out]`` so the forward
+is ``x @ W`` (HF/torch nn.Linear stores ``[out, in]``; the loader transposes).
+Quantized weights are :class:`bert_tpu.quant.QuantTensor` leaves (packed codes
++ block scales), registered here as a JAX pytree node.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Union
+
+import jax
+import numpy as np
+
+from .quant import QuantTensor
+
+# Register QuantTensor as a pytree node: packed/scales/mins are leaves
+# (stackable, shardable); absence of mins is aux structure.
+
+
+def _qt_flatten(qt: QuantTensor):
+    if qt.mins is None:
+        return (qt.packed, qt.scales), False
+    return (qt.packed, qt.scales, qt.mins), True
+
+
+def _qt_unflatten(has_mins: bool, leaves):
+    if has_mins:
+        packed, scales, mins = leaves
+        return QuantTensor(packed=packed, scales=scales, mins=mins)
+    packed, scales = leaves
+    return QuantTensor(packed=packed, scales=scales, mins=None)
+
+
+jax.tree_util.register_pytree_node(QuantTensor, _qt_flatten, _qt_unflatten)
+
+ArrayLike = Any
+WeightLike = Union[ArrayLike, QuantTensor]
+
+
+@dataclass(frozen=True)
+class BertConfig:
+    """Static hyperparameters (mirrors bert_hparams, bert.cpp:18-27)."""
+
+    n_vocab: int
+    n_max_tokens: int
+    n_embd: int
+    n_intermediate: int
+    n_head: int
+    n_layer: int
+    ftype: int = 0
+    # exact erf GELU matches HF/sentence-transformers; the reference's ggml
+    # uses the tanh approximation — selectable for apples-to-apples tests.
+    gelu_approx: bool = False
+    layer_norm_eps: float = 1e-12
+
+    @property
+    def d_head(self) -> int:
+        return self.n_embd // self.n_head  # bert.cpp:762
+
+    @classmethod
+    def from_hparams(cls, hp) -> "BertConfig":
+        return cls(
+            n_vocab=hp.n_vocab,
+            n_max_tokens=hp.n_max_tokens,
+            n_embd=hp.n_embd,
+            n_intermediate=hp.n_intermediate,
+            n_head=hp.n_head,
+            n_layer=hp.n_layer,
+            ftype=hp.ftype,
+        )
+
+
+# The params pytree is a plain nested dict:
+# {
+#   "embeddings": {word [V,D], token_type [2,D], position [P,D],
+#                  ln_scale [D], ln_bias [D]},
+#   "layers": {q_w [L,D,D] (or QuantTensor with leading L), q_b [L,D],
+#              k_w, k_b, v_w, v_b, o_w, o_b,
+#              ln_att_scale [L,D], ln_att_bias [L,D],
+#              ff_i_w [L,D,F], ff_i_b [L,F], ff_o_w [L,F,D], ff_o_b [L,D],
+#              ln_out_scale [L,D], ln_out_bias [L,D]}
+# }
+
+# HF tensor-name templates (bert.cpp:536-553, convert-to-ggml.py)
+_LAYER_WEIGHTS = {
+    "q_w": "encoder.layer.{i}.attention.self.query.weight",
+    "q_b": "encoder.layer.{i}.attention.self.query.bias",
+    "k_w": "encoder.layer.{i}.attention.self.key.weight",
+    "k_b": "encoder.layer.{i}.attention.self.key.bias",
+    "v_w": "encoder.layer.{i}.attention.self.value.weight",
+    "v_b": "encoder.layer.{i}.attention.self.value.bias",
+    "o_w": "encoder.layer.{i}.attention.output.dense.weight",
+    "o_b": "encoder.layer.{i}.attention.output.dense.bias",
+    "ln_att_scale": "encoder.layer.{i}.attention.output.LayerNorm.weight",
+    "ln_att_bias": "encoder.layer.{i}.attention.output.LayerNorm.bias",
+    "ff_i_w": "encoder.layer.{i}.intermediate.dense.weight",
+    "ff_i_b": "encoder.layer.{i}.intermediate.dense.bias",
+    "ff_o_w": "encoder.layer.{i}.output.dense.weight",
+    "ff_o_b": "encoder.layer.{i}.output.dense.bias",
+    "ln_out_scale": "encoder.layer.{i}.output.LayerNorm.weight",
+    "ln_out_bias": "encoder.layer.{i}.output.LayerNorm.bias",
+}
+_MATMUL_KEYS = {"q_w", "k_w", "v_w", "o_w", "ff_i_w", "ff_o_w"}
+
+_EMB_WEIGHTS = {
+    "word": "embeddings.word_embeddings.weight",
+    "token_type": "embeddings.token_type_embeddings.weight",
+    "position": "embeddings.position_embeddings.weight",
+    "ln_scale": "embeddings.LayerNorm.weight",
+    "ln_bias": "embeddings.LayerNorm.bias",
+}
+
+
+def expected_tensor_names(config: BertConfig) -> list:
+    names = list(_EMB_WEIGHTS.values())
+    for i in range(config.n_layer):
+        names.extend(t.format(i=i) for t in _LAYER_WEIGHTS.values())
+    return names
+
+
+def params_from_named_tensors(
+    named: Dict[str, np.ndarray],
+    config: BertConfig,
+    quantize_ftype: Optional[int] = None,
+    dtype: Any = np.float32,
+) -> Dict[str, Dict[str, WeightLike]]:
+    """Build the stacked params pytree from HF-named dense f32 tensors.
+
+    ``named`` holds tensors in HF/torch layout: linear weights are
+    ``[out, in]`` and get transposed to ``[in, out]`` here. When
+    ``quantize_ftype`` is Q4_0/Q4_1, matmul weights become stacked
+    QuantTensors (weight-only quantization; biases & LayerNorms stay f32,
+    matching SURVEY.md §2.5).
+    """
+    from .quant import GGML_FTYPE_Q4_0, GGML_FTYPE_Q4_1, quantize_tensor_tpu
+
+    def get(name: str) -> np.ndarray:
+        if name not in named:
+            raise KeyError(f"missing tensor {name!r} in checkpoint")
+        return np.asarray(named[name], dtype=np.float32)
+
+    emb = {k: get(v).astype(dtype) for k, v in _EMB_WEIGHTS.items()}
+    emb["ln_scale"] = get(_EMB_WEIGHTS["ln_scale"])  # keep f32
+    emb["ln_bias"] = get(_EMB_WEIGHTS["ln_bias"])
+
+    layers: Dict[str, WeightLike] = {}
+    for key, tmpl in _LAYER_WEIGHTS.items():
+        per_layer = [get(tmpl.format(i=i)) for i in range(config.n_layer)]
+        if key in _MATMUL_KEYS:
+            per_layer = [w.T for w in per_layer]  # [out,in] → [in,out]
+            if quantize_ftype in (GGML_FTYPE_Q4_0, GGML_FTYPE_Q4_1):
+                qts = [quantize_tensor_tpu(w, quantize_ftype) for w in per_layer]
+                layers[key] = QuantTensor(
+                    packed=np.stack([q.packed for q in qts]),
+                    scales=np.stack([q.scales for q in qts]),
+                    mins=(np.stack([q.mins for q in qts])
+                          if qts[0].mins is not None else None),
+                )
+                continue
+            layers[key] = np.stack(per_layer).astype(dtype)
+            continue
+        is_ln = key.startswith("ln_")
+        layers[key] = np.stack(per_layer).astype(np.float32 if is_ln else np.float32)
+
+    return {"embeddings": emb, "layers": layers}
+
+
+def random_named_tensors(
+    config: BertConfig, seed: int = 0, scale: float = 0.02
+) -> Dict[str, np.ndarray]:
+    """Random HF-layout tensors for fixtures/tests (no network, no HF hub)."""
+    rng = np.random.default_rng(seed)
+
+    def t(*shape):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    named: Dict[str, np.ndarray] = {
+        "embeddings.word_embeddings.weight": t(config.n_vocab, config.n_embd),
+        "embeddings.token_type_embeddings.weight": t(2, config.n_embd),
+        "embeddings.position_embeddings.weight": t(
+            config.n_max_tokens, config.n_embd
+        ),
+        "embeddings.LayerNorm.weight": np.ones(config.n_embd, np.float32),
+        "embeddings.LayerNorm.bias": np.zeros(config.n_embd, np.float32),
+    }
+    d, f = config.n_embd, config.n_intermediate
+    for i in range(config.n_layer):
+        p = f"encoder.layer.{i}."
+        named[p + "attention.self.query.weight"] = t(d, d)
+        named[p + "attention.self.query.bias"] = t(d)
+        named[p + "attention.self.key.weight"] = t(d, d)
+        named[p + "attention.self.key.bias"] = t(d)
+        named[p + "attention.self.value.weight"] = t(d, d)
+        named[p + "attention.self.value.bias"] = t(d)
+        named[p + "attention.output.dense.weight"] = t(d, d)
+        named[p + "attention.output.dense.bias"] = t(d)
+        named[p + "attention.output.LayerNorm.weight"] = np.ones(d, np.float32)
+        named[p + "attention.output.LayerNorm.bias"] = np.zeros(d, np.float32)
+        named[p + "intermediate.dense.weight"] = t(f, d)
+        named[p + "intermediate.dense.bias"] = t(f)
+        named[p + "output.dense.weight"] = t(d, f)
+        named[p + "output.dense.bias"] = t(d)
+        named[p + "output.LayerNorm.weight"] = np.ones(d, np.float32)
+        named[p + "output.LayerNorm.bias"] = np.zeros(d, np.float32)
+    return named

@@ -1,0 +1,276 @@
+"""Q4_0 / Q4_1 block quantization codecs and the MXU-tiled weight layout.
+
+Re-creates the reference's weight-only 4-bit scheme (SURVEY.md §2.5;
+models/quantize.cpp:213-218, README.md:15) in two layouts:
+
+1. **ggml stream layout** — bit-compatible with the legacy ggml block codecs
+   the reference's quantize binary emits, for ggml-bin file I/O:
+     * Q4_0: per 32-value block, f32 scale ``d`` then 16 nibble bytes
+       (20 B/block); codes are symmetric around 8: ``x ≈ (q - 8) * d`` with
+       ``d = max|x| / 7``.
+     * Q4_1: f32 ``d`` + f32 ``m`` then 16 nibble bytes (24 B/block);
+       affine: ``x ≈ q * d + m`` with ``d = (max - min)/15``, ``m = min``.
+     * nibble packing: byte ``b`` holds elements ``2b`` (low nibble) and
+       ``2b + 1`` (high nibble).
+
+2. **TPU layout** (:class:`QuantTensor`) — a structure-of-arrays layout
+   pre-tiled for the MXU: for a logical weight ``W[K, N]`` (K = contraction
+   dim), codes are packed 2-per-byte along K with the LOW nibbles holding
+   rows ``0..K/2-1`` and HIGH nibbles rows ``K/2..K-1`` (a half-split, so the
+   in-kernel unpack is a single concatenate along sublanes instead of an
+   interleave), and block scales sit in separate ``[K/32, N]`` planes that
+   broadcast cleanly over lanes. See bert_tpu/ops/q4_matmul.py for the fused
+   dequant+matmul Pallas kernel consuming this layout.
+
+Quantization happens along the weight's input (contraction) dimension in
+blocks of 32 — the same axis ggml uses (ne[0]; bert.cpp:638 asserts
+``ne[0] % 64 == 0``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+QK = 32  # block size, elements per quantization block
+
+GGML_FTYPE_F32 = 0
+GGML_FTYPE_F16 = 1
+GGML_FTYPE_Q4_0 = 2
+GGML_FTYPE_Q4_1 = 3
+
+FTYPE_NAMES = {0: "f32", 1: "f16", 2: "q4_0", 3: "q4_1"}
+FTYPE_BY_NAME = {v: k for k, v in FTYPE_NAMES.items()}
+
+
+# ---------------------------------------------------------------------------
+# Core block codecs (numpy, shape [..., K] with K % 32 == 0)
+# ---------------------------------------------------------------------------
+
+def q4_0_quantize(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """x[..., K] → (codes uint8 [..., K] in 0..15, scales f32 [..., K//QK])."""
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    *lead, k = x.shape
+    assert k % QK == 0, f"last dim {k} not a multiple of {QK}"
+    blocks = x.reshape(*lead, k // QK, QK)
+    amax = np.abs(blocks).max(axis=-1)
+    d = amax / 7.0
+    inv_d = np.where(d > 0, 1.0 / np.where(d > 0, d, 1.0), 0.0)
+    q = np.rint(blocks * inv_d[..., None]) + 8.0
+    codes = np.clip(q, 0, 15).astype(np.uint8).reshape(*lead, k)
+    return codes, d.astype(np.float32)
+
+
+def q4_0_dequantize(codes: np.ndarray, scales: np.ndarray) -> np.ndarray:
+    *lead, k = codes.shape
+    blocks = codes.reshape(*lead, k // QK, QK).astype(np.float32) - 8.0
+    return (blocks * scales[..., None]).reshape(*lead, k).astype(np.float32)
+
+
+def q4_1_quantize(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """x[..., K] → (codes uint8, scales f32 [..., K//QK], mins f32 [..., K//QK])."""
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    *lead, k = x.shape
+    assert k % QK == 0, f"last dim {k} not a multiple of {QK}"
+    blocks = x.reshape(*lead, k // QK, QK)
+    mn = blocks.min(axis=-1)
+    mx = blocks.max(axis=-1)
+    d = (mx - mn) / 15.0
+    inv_d = np.where(d > 0, 1.0 / np.where(d > 0, d, 1.0), 0.0)
+    q = np.rint((blocks - mn[..., None]) * inv_d[..., None])
+    codes = np.clip(q, 0, 15).astype(np.uint8).reshape(*lead, k)
+    return codes, d.astype(np.float32), mn.astype(np.float32)
+
+
+def q4_1_dequantize(
+    codes: np.ndarray, scales: np.ndarray, mins: np.ndarray
+) -> np.ndarray:
+    *lead, k = codes.shape
+    blocks = codes.reshape(*lead, k // QK, QK).astype(np.float32)
+    out = blocks * scales[..., None] + mins[..., None]
+    return out.reshape(*lead, k).astype(np.float32)
+
+
+def nibble_histogram(codes: np.ndarray) -> np.ndarray:
+    """16-bin code histogram, as printed by the reference quantizer
+    (models/quantize.cpp:123,229-261)."""
+    return np.bincount(codes.reshape(-1).astype(np.int64), minlength=16)[:16]
+
+
+# ---------------------------------------------------------------------------
+# ggml stream (file) layout
+# ---------------------------------------------------------------------------
+
+def _pack_nibbles_pairwise(codes: np.ndarray) -> np.ndarray:
+    """[..., K] codes → [..., K//2] bytes; byte b = el[2b] | el[2b+1] << 4."""
+    lo = codes[..., 0::2]
+    hi = codes[..., 1::2]
+    return (lo | (hi << 4)).astype(np.uint8)
+
+
+def _unpack_nibbles_pairwise(packed: np.ndarray) -> np.ndarray:
+    *lead, half = packed.shape
+    out = np.empty((*lead, half * 2), dtype=np.uint8)
+    out[..., 0::2] = packed & 0x0F
+    out[..., 1::2] = packed >> 4
+    return out
+
+
+def q4_to_ggml_bytes(
+    codes: np.ndarray, scales: np.ndarray, mins: Optional[np.ndarray] = None
+) -> bytes:
+    """Serialize row-major [R, K] codes+scales into the ggml block stream."""
+    r, k = codes.shape
+    nb = k // QK
+    packed = _pack_nibbles_pairwise(codes.reshape(r * nb, QK))  # [R*nb, 16]
+    if mins is None:  # Q4_0: f32 d + 16 bytes
+        rec = np.zeros((r * nb, 20), dtype=np.uint8)
+        rec[:, :4] = scales.reshape(-1, 1).astype(np.float32).view(np.uint8)
+        rec[:, 4:] = packed
+    else:  # Q4_1: f32 d + f32 m + 16 bytes
+        rec = np.zeros((r * nb, 24), dtype=np.uint8)
+        rec[:, :4] = scales.reshape(-1, 1).astype(np.float32).view(np.uint8)
+        rec[:, 4:8] = mins.reshape(-1, 1).astype(np.float32).view(np.uint8)
+        rec[:, 8:] = packed
+    return rec.tobytes()
+
+
+def q4_from_ggml_bytes(
+    raw: bytes, shape: Tuple[int, ...], ftype: int
+) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
+    """ggml block stream → ([..., K] codes, scales, mins-or-None)."""
+    *lead, k = shape
+    nblocks = int(np.prod(lead, dtype=np.int64)) * (k // QK)
+    if ftype == GGML_FTYPE_Q4_0:
+        rec = np.frombuffer(raw, dtype=np.uint8).reshape(nblocks, 20)
+        scales = rec[:, :4].copy().view(np.float32).reshape(*lead, k // QK)
+        mins = None
+        packed = rec[:, 4:]
+    elif ftype == GGML_FTYPE_Q4_1:
+        rec = np.frombuffer(raw, dtype=np.uint8).reshape(nblocks, 24)
+        scales = rec[:, :4].copy().view(np.float32).reshape(*lead, k // QK)
+        mins = rec[:, 4:8].copy().view(np.float32).reshape(*lead, k // QK)
+        packed = rec[:, 8:]
+    else:
+        raise ValueError(f"not a q4 ftype: {ftype}")
+    codes = _unpack_nibbles_pairwise(packed).reshape(*lead, k)
+    return codes, scales, mins
+
+
+def ggml_nbytes(shape: Tuple[int, ...], ftype: int) -> int:
+    n = int(np.prod(shape, dtype=np.int64))
+    if ftype == GGML_FTYPE_F32:
+        return n * 4
+    if ftype == GGML_FTYPE_F16:
+        return n * 2
+    if ftype == GGML_FTYPE_Q4_0:
+        return n // QK * 20
+    if ftype == GGML_FTYPE_Q4_1:
+        return n // QK * 24
+    raise ValueError(f"unknown ftype {ftype}")
+
+
+# ---------------------------------------------------------------------------
+# TPU layout
+# ---------------------------------------------------------------------------
+
+@dataclass
+class QuantTensor:
+    """MXU-tiled weight-only Q4 tensor for a logical ``W[K, N]`` matmul weight.
+
+    ``packed[K//2, N]`` uint8 — low nibble = W[k, n] code for k < K/2,
+    high nibble = code for k + K/2 (half-split packing).
+    ``scales[K//32, N]`` f32 (Q4_0/Q4_1), ``mins[K//32, N]`` f32 (Q4_1 only).
+
+    Registered as a JAX pytree in bert_tpu/params.py so it can be stacked,
+    scanned over, and sharded like any other leaf.
+    """
+
+    packed: np.ndarray
+    scales: np.ndarray
+    mins: Optional[np.ndarray] = None
+
+    @property
+    def k(self) -> int:
+        return self.packed.shape[-2] * 2
+
+    @property
+    def n(self) -> int:
+        return self.packed.shape[-1]
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.k, self.n)
+
+    @property
+    def is_q4_1(self) -> bool:
+        return self.mins is not None
+
+
+def pack_tpu_layout(codes_kn: np.ndarray) -> np.ndarray:
+    """[K, N] codes → [K//2, N] half-split packed bytes."""
+    k = codes_kn.shape[0]
+    assert k % 2 == 0
+    lo = codes_kn[: k // 2]
+    hi = codes_kn[k // 2 :]
+    return (lo | (hi << 4)).astype(np.uint8)
+
+
+def unpack_tpu_layout(packed: np.ndarray) -> np.ndarray:
+    """[K//2, N] packed bytes → [K, N] codes (inverse of pack_tpu_layout)."""
+    return np.concatenate([packed & 0x0F, packed >> 4], axis=0).astype(np.uint8)
+
+
+def quantize_tensor_tpu(
+    w_kn: np.ndarray, ftype: int
+) -> QuantTensor:
+    """Quantize a dense ``W[K, N]`` (K = contraction dim) into TPU layout.
+
+    Blocks run along K, matching ggml's ne[0] blocking, so repacking a
+    ggml-quantized tensor (codes produced by q4_from_ggml_bytes on the
+    [N, K]-stored file tensor) into this layout is a pure transpose —
+    bit-exact, no requantization. See formats/ggml_bin.py.
+    """
+    k, n = w_kn.shape
+    if ftype == GGML_FTYPE_Q4_0:
+        codes, scales = q4_0_quantize(w_kn.T)  # [N, K] codes, [N, K//QK]
+        mins = None
+    elif ftype == GGML_FTYPE_Q4_1:
+        codes, scales, mins = q4_1_quantize(w_kn.T)
+        mins = np.ascontiguousarray(mins.T)  # [K//QK, N]
+    else:
+        raise ValueError(f"not a q4 ftype: {ftype}")
+    packed = pack_tpu_layout(np.ascontiguousarray(codes.T))  # [K//2, N]
+    return QuantTensor(
+        packed=packed,
+        scales=np.ascontiguousarray(scales.T),
+        mins=mins,
+    )
+
+
+def repack_codes_tpu(
+    codes_nk: np.ndarray,
+    scales_nb: np.ndarray,
+    mins_nb: Optional[np.ndarray],
+) -> QuantTensor:
+    """Bit-exact repack of ggml-layout codes ([N, K], blocks along K) into the
+    TPU layout for the logical weight W[K, N] = stored[N, K]ᵀ."""
+    packed = pack_tpu_layout(np.ascontiguousarray(codes_nk.T))
+    return QuantTensor(
+        packed=packed,
+        scales=np.ascontiguousarray(scales_nb.T),
+        mins=None if mins_nb is None else np.ascontiguousarray(mins_nb.T),
+    )
+
+
+def dequantize_tpu(qt: QuantTensor) -> np.ndarray:
+    """QuantTensor → dense f32 W[K, N] (numpy reference for kernel tests)."""
+    codes = unpack_tpu_layout(np.asarray(qt.packed))  # [K, N]
+    k, n = codes.shape
+    scales = np.repeat(np.asarray(qt.scales), QK, axis=0)  # [K, N]
+    if qt.mins is None:
+        return (codes.astype(np.float32) - 8.0) * scales
+    mins = np.repeat(np.asarray(qt.mins), QK, axis=0)
+    return codes.astype(np.float32) * scales + mins

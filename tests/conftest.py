@@ -1,0 +1,30 @@
+"""Test config: force the CPU backend with 8 virtual devices BEFORE any jax
+backend initialization, so multi-chip sharding tests run anywhere
+(SURVEY.md §4: multi-device tests via xla_force_host_platform_device_count).
+
+Note: this machine sets JAX_PLATFORMS=axon (TPU tunnel); the env var alone
+does not reliably override the plugin, so we also use jax.config.update.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def pytest_configure(config):
+    assert jax.default_backend() == "cpu", (
+        "tests must run on the virtual-CPU backend, got "
+        + jax.default_backend()
+    )

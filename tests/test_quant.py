@@ -1,0 +1,116 @@
+"""Q4_0/Q4_1 codec tests: round-trips, error bounds, layout equivalence
+(SURVEY.md §4 "quant/dequant round-trip")."""
+
+import numpy as np
+import pytest
+
+from bert_tpu.quant import (
+    QK,
+    dequantize_tpu,
+    nibble_histogram,
+    q4_0_dequantize,
+    q4_0_quantize,
+    q4_1_dequantize,
+    q4_1_quantize,
+    q4_from_ggml_bytes,
+    q4_to_ggml_bytes,
+    quantize_tensor_tpu,
+    repack_codes_tpu,
+    unpack_tpu_layout,
+    pack_tpu_layout,
+)
+
+RNG = np.random.default_rng(42)
+
+
+def test_q4_0_roundtrip_error():
+    x = RNG.standard_normal((8, 256)).astype(np.float32)
+    codes, scales = q4_0_quantize(x)
+    assert codes.shape == x.shape and codes.max() <= 15
+    assert scales.shape == (8, 256 // QK)
+    y = q4_0_dequantize(codes, scales)
+    # max error per block is d/2 = amax/14
+    blocks = x.reshape(8, -1, QK)
+    amax = np.abs(blocks).max(-1, keepdims=True)
+    assert np.all(np.abs((y - x).reshape(8, -1, QK)) <= amax / 14 + 1e-6)
+
+
+def test_q4_1_roundtrip_error():
+    x = (RNG.standard_normal((4, 128)) * 3 + 1).astype(np.float32)
+    codes, scales, mins = q4_1_quantize(x)
+    y = q4_1_dequantize(codes, scales, mins)
+    blocks = x.reshape(4, -1, QK)
+    spread = blocks.max(-1, keepdims=True) - blocks.min(-1, keepdims=True)
+    assert np.all(np.abs((y - x).reshape(4, -1, QK)) <= spread / 30 + 1e-6)
+
+
+def test_q4_0_zero_block():
+    x = np.zeros((1, QK), np.float32)
+    codes, scales = q4_0_quantize(x)
+    assert scales[0, 0] == 0
+    assert np.all(q4_0_dequantize(codes, scales) == 0)
+
+
+def test_q4_1_constant_block():
+    x = np.full((1, QK), 2.5, np.float32)
+    codes, scales, mins = q4_1_quantize(x)
+    y = q4_1_dequantize(codes, scales, mins)
+    np.testing.assert_allclose(y, x, atol=1e-6)
+
+
+@pytest.mark.parametrize("variant", ["q4_0", "q4_1"])
+def test_ggml_stream_roundtrip(variant):
+    x = RNG.standard_normal((6, 192)).astype(np.float32)
+    if variant == "q4_0":
+        codes, scales = q4_0_quantize(x)
+        mins = None
+        ftype = 2
+    else:
+        codes, scales, mins = q4_1_quantize(x)
+        ftype = 3
+    raw = q4_to_ggml_bytes(codes, scales, mins)
+    exp_bytes = x.size // QK * (20 if variant == "q4_0" else 24)
+    assert len(raw) == exp_bytes
+    c2, s2, m2 = q4_from_ggml_bytes(raw, x.shape, ftype)
+    np.testing.assert_array_equal(codes, c2)
+    np.testing.assert_array_equal(scales, s2)
+    if mins is not None:
+        np.testing.assert_array_equal(mins, m2)
+
+
+def test_tpu_pack_unpack_inverse():
+    codes = RNG.integers(0, 16, size=(128, 64), dtype=np.uint8)
+    np.testing.assert_array_equal(unpack_tpu_layout(pack_tpu_layout(codes)),
+                                  codes)
+
+
+@pytest.mark.parametrize("ftype", [2, 3])
+def test_tpu_layout_matches_rowwise_quant(ftype):
+    """quantize_tensor_tpu(W) dequantizes to the same values as the row-wise
+    ggml codec applied to Wᵀ (same blocks, same scales)."""
+    w = RNG.standard_normal((160, 96)).astype(np.float32)  # [K, N]
+    qt = quantize_tensor_tpu(w, ftype)
+    y = dequantize_tpu(qt)
+    if ftype == 2:
+        codes, scales = q4_0_quantize(w.T)
+        ref = q4_0_dequantize(codes, scales).T
+    else:
+        codes, scales, mins = q4_1_quantize(w.T)
+        ref = q4_1_dequantize(codes, scales, mins).T
+    np.testing.assert_allclose(y, ref, rtol=0, atol=0)
+
+
+def test_repack_is_bit_exact():
+    """ggml-layout codes repacked to TPU layout must dequantize identically —
+    the no-requantization loader path (loader.py)."""
+    w_nk = RNG.standard_normal((64, 128)).astype(np.float32)  # stored [N, K]
+    codes, scales, mins = q4_1_quantize(w_nk)
+    qt = repack_codes_tpu(codes, scales, mins)
+    ref = q4_1_dequantize(codes, scales, mins).T  # logical W[K, N]
+    np.testing.assert_allclose(dequantize_tpu(qt), ref, atol=0)
+
+
+def test_nibble_histogram():
+    codes = np.array([[0, 0, 15, 8]], dtype=np.uint8)
+    h = nibble_histogram(codes)
+    assert h[0] == 2 and h[8] == 1 and h[15] == 1 and h.sum() == 4
