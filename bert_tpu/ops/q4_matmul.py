@@ -39,21 +39,28 @@ def _round_up(x: int, m: int) -> int:
 # jnp reference path
 # ---------------------------------------------------------------------------
 
+def _unpack_codes3(packed) -> jax.Array:
+    """[K//2, N] group-local packed bytes → [K//QK, QK, N] int32 codes
+    (block-major view, aligned with the scales planes)."""
+    half, n = packed.shape
+    p = packed.astype(jnp.int32).reshape(half // QK, QK, n)
+    # group g: low nibbles = q4 block 2g, high nibbles = block 2g+1
+    return jnp.concatenate([p & 0xF, p >> 4], axis=1).reshape(
+        half * 2 // QK, QK, n
+    )
+
+
 def q4_dequantize_jnp(qt: QuantTensor, dtype=jnp.float32) -> jax.Array:
     """QuantTensor → dense W[K, N] via jnp ops (oracle / CPU fallback)."""
-    packed = jnp.asarray(qt.packed)
-    codes = jnp.concatenate(
-        [packed & jnp.uint8(0x0F), packed >> jnp.uint8(4)], axis=0
-    ).astype(jnp.int32)  # [K, N]
-    k, n = codes.shape
-    codes3 = codes.reshape(k // QK, QK, n)
+    codes3 = _unpack_codes3(jnp.asarray(qt.packed))  # [K//QK, QK, N]
+    nb, _, n = codes3.shape
     scales = jnp.asarray(qt.scales)[:, None, :]  # [K//QK, 1, N]
     if qt.mins is None:
         w3 = (codes3 - 8).astype(dtype) * scales.astype(dtype)
     else:
         mins = jnp.asarray(qt.mins)[:, None, :]
         w3 = codes3.astype(dtype) * scales.astype(dtype) + mins.astype(dtype)
-    return w3.reshape(k, n)
+    return w3.reshape(nb * QK, n)
 
 
 def _q4_matmul_jnp(x: jax.Array, qt: QuantTensor) -> jax.Array:
@@ -66,11 +73,17 @@ def _q4_matmul_jnp(x: jax.Array, qt: QuantTensor) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def _q4_matmul_kernel(x_ref, p_ref, s_ref, o_ref, *, is_q4_1, m_ref=None):
-    """One (TM, TN) output tile; K is resident in VMEM (encoder K ≤ 4096)."""
-    p = p_ref[:].astype(jnp.int32)  # [K//2, TN]
-    codes = jnp.concatenate([p & 0xF, p >> 4], axis=0)  # [K, TN]
-    k, tn = codes.shape
-    codes3 = codes.reshape(k // QK, QK, tn)
+    """One (TM, TN) output tile; K is resident in VMEM (encoder K ≤ 4096).
+
+    Unpack is pure VPU work (nibble masks + a sublane-band concat in the
+    group-local layout — no interleave shuffles), fused in front of the MXU
+    dot; the packed weights cross HBM→VMEM at 4.5 bits/weight.
+    """
+    half, tn = p_ref.shape
+    p = p_ref[:].astype(jnp.int32).reshape(half // QK, QK, tn)
+    codes3 = jnp.concatenate([p & 0xF, p >> 4], axis=1).reshape(
+        half * 2 // QK, QK, tn
+    )  # [K//QK, QK, TN], block-major
     x = x_ref[:]
     scales = s_ref[:][:, None, :]  # [K//QK, 1, TN]
     if is_q4_1:
@@ -78,7 +91,7 @@ def _q4_matmul_kernel(x_ref, p_ref, s_ref, o_ref, *, is_q4_1, m_ref=None):
         w3 = codes3.astype(jnp.float32) * scales + mins
     else:
         w3 = (codes3 - 8).astype(jnp.float32) * scales
-    w = w3.reshape(k, tn).astype(x.dtype)
+    w = w3.reshape(half * 2, tn).astype(x.dtype)
     o_ref[:] = jnp.dot(x, w, preferred_element_type=jnp.float32)
 
 

@@ -1,0 +1,108 @@
+"""SPMD execution: sharded inference (shard_map + explicit ICI collectives)
+and GSPMD parameter placement.
+
+Inference path: ``shard_map`` over the (data, model) mesh with the two
+Megatron psums per layer written out explicitly (model.py does them when
+``tp_axis`` is set). Explicit SPMD is what lets the Pallas kernels run on
+per-device shards. Collectives ride ICI; XLA's latency-hiding scheduler
+overlaps them with the next layer's compute.
+
+The reference point of comparison: bert.cpp has NO distributed execution at
+all (SURVEY.md §2.6) — this module is the "introduce parallelism as
+first-class" requirement, not a translation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+from jax.sharding import NamedSharding
+from jax.sharding import PartitionSpec as P
+
+try:  # jax >= 0.4.35
+    from jax import shard_map as _shard_map_mod
+
+    shard_map = _shard_map_mod  # type: ignore[assignment]
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+if not callable(shard_map):  # jax.shard_map may be a module in some versions
+    shard_map = shard_map.shard_map  # type: ignore[union-attr]
+
+from ..model import bert_forward
+from .mesh import DATA_AXIS, MODEL_AXIS
+from .sharding import batch_pspec, param_pspecs
+
+
+def shard_params(mesh, params, pspecs: Optional[Dict[str, Any]] = None):
+    """device_put the param pytree with NamedShardings from the spec tree."""
+    if pspecs is None:
+        pspecs = param_pspecs()
+    # expand the prefix spec tree to full leaf structure
+    flat_specs = _expand_prefix_specs(params, pspecs)
+    return jax.tree_util.tree_map(
+        lambda v, s: jax.device_put(v, NamedSharding(mesh, s)),
+        params, flat_specs,
+    )
+
+
+def _expand_prefix_specs(params, pspecs):
+    """Expand a prefix spec tree (one spec per named weight, covering all
+    leaves of a QuantTensor node) to the exact leaf structure of params."""
+    def expand(p, s):
+        leaves = jax.tree_util.tree_leaves(p)
+        if len(leaves) == 1 and not isinstance(p, dict):
+            return s
+        return jax.tree_util.tree_map(lambda _: s, p)
+
+    out = {}
+    for group, sub in params.items():
+        out[group] = {}
+        for key, val in sub.items():
+            spec = pspecs[group][key]
+            out[group][key] = jax.tree_util.tree_map(lambda _: spec, val)
+    return out
+
+
+def make_sharded_encode_fn(
+    mesh,
+    config,
+    *,
+    compute_dtype=None,
+    use_pallas: Optional[bool] = None,
+    dp_axis: str = DATA_AXIS,
+    tp_axis: Optional[str] = MODEL_AXIS,
+):
+    """jitted shard_map forward: (params, ids, mask) → [B, n_embd] f32.
+
+    Batch is sharded over ``dp_axis``; weights per param_pspecs; the two
+    row-parallel projections per layer end in ``psum`` over ``tp_axis``
+    (model.py encoder_layer).
+    """
+    import jax.numpy as jnp
+
+    if compute_dtype is None:
+        compute_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                         else jnp.float32)
+    tp = mesh.shape.get(tp_axis, 1) if tp_axis else 1
+    eff_tp_axis = tp_axis if (tp_axis and tp > 1) else None
+
+    pspecs = param_pspecs(tp_axis if tp > 1 else None)
+
+    def local_fwd(params, ids, mask):
+        return bert_forward(
+            params, ids, mask, config,
+            compute_dtype=compute_dtype, use_pallas=use_pallas,
+            tp_axis=eff_tp_axis,
+        )
+
+    fwd = shard_map(
+        local_fwd,
+        mesh=mesh,
+        in_specs=(pspecs, batch_pspec(dp_axis), batch_pspec(dp_axis)),
+        out_specs=P(dp_axis, None),
+        check_vma=False,
+    )
+    return jax.jit(fwd)

@@ -209,18 +209,33 @@ class QuantTensor:
         return self.mins is not None
 
 
+GROUP = 2 * QK  # 64 logical rows per packed group (one packed 32-row band)
+
+
 def pack_tpu_layout(codes_kn: np.ndarray) -> np.ndarray:
-    """[K, N] codes → [K//2, N] half-split packed bytes."""
-    k = codes_kn.shape[0]
-    assert k % 2 == 0
-    lo = codes_kn[: k // 2]
-    hi = codes_kn[k // 2 :]
-    return (lo | (hi << 4)).astype(np.uint8)
+    """[K, N] codes → [K//2, N] group-local half-split packed bytes.
+
+    Within each 64-row group g, the packed band's LOW nibbles hold logical
+    rows 64g..64g+31 (= q4 block 2g) and the HIGH nibbles rows
+    64g+32..64g+63 (= block 2g+1). Group-locality means any K-shard cut at
+    64-row granularity is itself a valid packed array — so tensor-parallel
+    row sharding of ``packed`` (and the matching ``scales``) over a mesh
+    needs no repacking. The 64-row granularity is the same one the
+    reference's loader asserts (bert.cpp:638: ``ne[0] % 64 == 0``).
+    """
+    k, n = codes_kn.shape
+    assert k % GROUP == 0, f"K={k} not a multiple of {GROUP}"
+    g = codes_kn.reshape(k // GROUP, GROUP, n)
+    lo, hi = g[:, :QK], g[:, QK:]
+    return (lo | (hi << 4)).astype(np.uint8).reshape(k // 2, n)
 
 
 def unpack_tpu_layout(packed: np.ndarray) -> np.ndarray:
     """[K//2, N] packed bytes → [K, N] codes (inverse of pack_tpu_layout)."""
-    return np.concatenate([packed & 0x0F, packed >> 4], axis=0).astype(np.uint8)
+    half, n = packed.shape
+    p = packed.reshape(half // QK, QK, n)
+    codes = np.concatenate([p & 0x0F, p >> 4], axis=1)  # [K//64, 64, N]
+    return codes.reshape(half * 2, n).astype(np.uint8)
 
 
 def quantize_tensor_tpu(

@@ -88,7 +88,7 @@ def test_tpu_pack_unpack_inverse():
 def test_tpu_layout_matches_rowwise_quant(ftype):
     """quantize_tensor_tpu(W) dequantizes to the same values as the row-wise
     ggml codec applied to Wᵀ (same blocks, same scales)."""
-    w = RNG.standard_normal((160, 96)).astype(np.float32)  # [K, N]
+    w = RNG.standard_normal((192, 96)).astype(np.float32)  # [K, N], K % 64 == 0
     qt = quantize_tensor_tpu(w, ftype)
     y = dequantize_tpu(qt)
     if ftype == 2:
