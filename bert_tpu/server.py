@@ -1,0 +1,194 @@
+"""Embedding server: reference-wire-compatible TCP front-end with a
+continuous-batching scheduler.
+
+Wire protocol (kept byte-compatible with the reference server,
+examples/server.cpp:26-34,107: clients like examples/sample_client.py work
+unchanged):
+  * on connect, server sends ``n_embd`` as a raw little-endian int32;
+  * client sends one UTF-8 text per message (single read, ≤ 32 KiB, no
+    length framing — a documented reference quirk);
+  * server replies with ``n_embd`` raw little-endian float32s.
+
+Where the reference accepts ONE client at a time and evaluates one
+sentence per graph build (server.cpp:92 listen backlog 1; SURVEY.md §3.4),
+this server is asyncio-concurrent: every connection feeds a shared queue,
+and a micro-batching scheduler drains it — collecting whatever requests
+arrive within ``batch_window_ms`` (or up to ``max_batch``) and running them
+as ONE padded bucket batch on the TPU. Under load, batch size grows
+automatically and throughput approaches the offline bucketed rate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import logging
+import struct
+import sys
+import time
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+MAX_MSG = 1 << 15  # reference read buffer size (server.cpp:27)
+
+
+class BatchingScheduler:
+    """Collects (text, future) requests and evaluates them in micro-batches."""
+
+    def __init__(self, model, *, max_batch: int = 64,
+                 batch_window_ms: float = 2.0):
+        self.model = model
+        self.max_batch = max_batch
+        self.batch_window = batch_window_ms / 1000.0
+        self.queue: asyncio.Queue = asyncio.Queue()
+        self._task: Optional[asyncio.Task] = None
+        self.n_served = 0
+        self.n_batches = 0
+
+    async def submit(self, text: str) -> np.ndarray:
+        fut: asyncio.Future = asyncio.get_running_loop().create_future()
+        await self.queue.put((text, fut))
+        return await fut
+
+    def start(self) -> None:
+        self._task = asyncio.get_running_loop().create_task(self._run())
+
+    async def stop(self) -> None:
+        if self._task is not None:
+            self._task.cancel()
+            try:
+                await self._task
+            except asyncio.CancelledError:
+                pass
+
+    async def _collect(self) -> List[Tuple[str, asyncio.Future]]:
+        first = await self.queue.get()
+        batch = [first]
+        deadline = time.monotonic() + self.batch_window
+        while len(batch) < self.max_batch:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                item = await asyncio.wait_for(self.queue.get(), timeout)
+                batch.append(item)
+            except asyncio.TimeoutError:
+                break
+        return batch
+
+    async def _run(self) -> None:
+        loop = asyncio.get_running_loop()
+        while True:
+            batch = await self._collect()
+            texts = [t for t, _ in batch]
+            try:
+                # encode_batch blocks on device results → thread executor,
+                # so the event loop keeps accepting/collecting meanwhile
+                embs = await loop.run_in_executor(
+                    None, self.model.encode_batch, texts
+                )
+                for (_, fut), emb in zip(batch, embs):
+                    if not fut.done():
+                        fut.set_result(emb)
+            except Exception as exc:  # pragma: no cover - defensive
+                logger.exception("batch evaluation failed")
+                for _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(exc)
+            self.n_served += len(batch)
+            self.n_batches += 1
+
+
+class EmbeddingServer:
+    def __init__(self, model, host: str = "0.0.0.0", port: int = 8085,
+                 *, max_batch: int = 64, batch_window_ms: float = 2.0):
+        self.model = model
+        self.host = host
+        self.port = port
+        self.scheduler = BatchingScheduler(
+            model, max_batch=max_batch, batch_window_ms=batch_window_ms
+        )
+        self._server: Optional[asyncio.AbstractServer] = None
+
+    async def _handle(self, reader: asyncio.StreamReader,
+                      writer: asyncio.StreamWriter) -> None:
+        peer = writer.get_extra_info("peername")
+        logger.info("client connected: %s", peer)
+        # handshake: n_embd as int32 (server.cpp:107)
+        writer.write(struct.pack("<i", self.model.n_embd))
+        await writer.drain()
+        try:
+            while True:
+                data = await reader.read(MAX_MSG)
+                if not data:
+                    break
+                text = data.decode("utf-8", errors="replace")
+                emb = await self.scheduler.submit(text)
+                writer.write(np.asarray(emb, dtype="<f4").tobytes())
+                await writer.drain()
+        except (ConnectionResetError, asyncio.IncompleteReadError):
+            pass
+        finally:
+            writer.close()
+            logger.info("client disconnected: %s", peer)
+
+    async def serve(self, ready_event: Optional[asyncio.Event] = None
+                    ) -> None:
+        self.scheduler.start()
+        self._server = await asyncio.start_server(
+            self._handle, self.host, self.port
+        )
+        addr = self._server.sockets[0].getsockname()
+        logger.info("server running on %s:%s", *addr[:2])
+        print(f"Server running on port {addr[1]}", flush=True)
+        if ready_event is not None:
+            ready_event.set()
+        async with self._server:
+            await self._server.serve_forever()
+
+    async def close(self) -> None:
+        await self.scheduler.stop()
+        if self._server is not None:
+            self._server.close()
+            await self._server.wait_closed()
+
+
+def main(argv=None) -> None:
+    from .cli import add_common_args, load_model_from_args
+
+    ap = argparse.ArgumentParser(
+        "bert_tpu.server", description="TPU embedding server "
+        "(reference-wire-compatible, continuous batching)")
+    add_common_args(ap)
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--max-batch", type=int, default=64,
+                    help="micro-batch cap per TPU step")
+    ap.add_argument("--batch-window-ms", type=float, default=2.0,
+                    help="how long to wait for more requests before running")
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip pre-compiling bucket shapes at startup")
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s: %(message)s")
+    model = load_model_from_args(args)
+    if not args.no_warmup:
+        t0 = time.time()
+        print("warming up bucket shapes ...", flush=True)
+        model.warmup(batch_sizes=[1, args.max_batch])
+        print(f"warmup done in {time.time() - t0:.1f}s", flush=True)
+
+    server = EmbeddingServer(model, host=args.host, port=args.port,
+                             max_batch=args.max_batch,
+                             batch_window_ms=args.batch_window_ms)
+    try:
+        asyncio.run(server.serve())
+    except KeyboardInterrupt:
+        pass
+
+
+if __name__ == "__main__":
+    main()
