@@ -120,7 +120,7 @@ class BertTPU:
 
     def encode_batch(self, texts: Sequence[str]) -> np.ndarray:
         """Tokenize + embed a batch of sentences (bert_encode_batch)."""
-        toks = [self.tokenize(t) for t in texts]
+        toks = self.tokenizer.tokenize_batch(texts, self.config.n_max_tokens)
         return self.eval_tokens(toks)
 
     def encode(self, text: str) -> np.ndarray:

@@ -1,0 +1,123 @@
+"""ctypes bindings for the native components (csrc/).
+
+The native WordPiece tokenizer (csrc/wordpiece.cpp) is used automatically
+when its shared library exists — built lazily with the in-image toolchain
+(`make -C csrc`, or NativeWordPiece.build()). Python semantics are the
+fallback everywhere, so the framework is fully functional without a
+compiler; the shared golden/fuzz tests pin both implementations together.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import struct
+import subprocess
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "csrc")
+_LIB_PATH = os.path.join(_CSRC, "libwordpiece.so")
+
+_lib = None
+
+
+def build_native(force: bool = False) -> Optional[str]:
+    """Build libwordpiece.so with make; returns path or None on failure."""
+    if os.path.exists(_LIB_PATH) and not force:
+        return _LIB_PATH
+    try:
+        subprocess.run(["make", "-C", _CSRC, "-s"], check=True,
+                       capture_output=True)
+        return _LIB_PATH if os.path.exists(_LIB_PATH) else None
+    except Exception as exc:  # no toolchain / make failure
+        logger.debug("native build failed: %s", exc)
+        return None
+
+
+def _load_lib(auto_build: bool = True):
+    global _lib
+    if _lib is not None:
+        return _lib
+    path = _LIB_PATH if os.path.exists(_LIB_PATH) else (
+        build_native() if auto_build else None)
+    if path is None:
+        return None
+    lib = ctypes.CDLL(path)
+    lib.wp_vocab_create.restype = ctypes.c_void_p
+    lib.wp_vocab_create.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32,
+    ]
+    lib.wp_vocab_free.argtypes = [ctypes.c_void_p]
+    lib.wp_tokenize.restype = ctypes.c_int32
+    lib.wp_tokenize.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+    ]
+    lib.wp_tokenize_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32,
+    ]
+    _lib = lib
+    return lib
+
+
+class NativeWordPiece:
+    """Native tokenizer over a vocab; same output as WordPieceTokenizer."""
+
+    def __init__(self, tokens: Sequence[str], cls_id: int, sep_id: int):
+        lib = _load_lib()
+        if lib is None:
+            raise RuntimeError("libwordpiece.so unavailable")
+        self._lib = lib
+        payload = bytearray()
+        for tok in tokens:
+            raw = tok.encode("utf-8")
+            payload += struct.pack("<I", len(raw)) + raw
+        buf = bytes(payload)
+        self._handle = lib.wp_vocab_create(buf, len(buf), len(tokens),
+                                           cls_id, sep_id)
+        if not self._handle:
+            raise RuntimeError("wp_vocab_create failed")
+
+    @staticmethod
+    def available(auto_build: bool = True) -> bool:
+        return _load_lib(auto_build=auto_build) is not None
+
+    def __del__(self):
+        handle = getattr(self, "_handle", None)
+        if handle:
+            self._lib.wp_vocab_free(handle)
+            self._handle = None
+
+    def tokenize(self, text: str, n_max_tokens: int = 1 << 30) -> List[int]:
+        raw = text.encode("utf-8")
+        cap = min(n_max_tokens, len(raw) + 2)
+        out = (ctypes.c_int32 * cap)()
+        n = self._lib.wp_tokenize(self._handle, raw, len(raw), out, cap)
+        return list(out[:n])
+
+    def tokenize_batch(self, texts: Sequence[str],
+                       n_max_tokens: int) -> List[List[int]]:
+        payload = bytearray()
+        for t in texts:
+            raw = t.encode("utf-8")
+            payload += struct.pack("<I", len(raw)) + raw
+        buf = bytes(payload)
+        n = len(texts)
+        out = np.empty((n, n_max_tokens), dtype=np.int32)
+        lens = np.empty((n,), dtype=np.int32)
+        self._lib.wp_tokenize_batch(
+            self._handle, buf, len(buf), n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n_max_tokens,
+        )
+        return [out[i, : lens[i]].tolist() for i in range(n)]

@@ -1,0 +1,69 @@
+"""Native tokenizer tests: build, goldens, and Python↔C++ fuzz equivalence."""
+
+import random
+import string
+
+import pytest
+
+from bert_tpu.native import NativeWordPiece, build_native
+from bert_tpu.tokenizer import WordPieceTokenizer
+from fixture_vocab import GOLDEN_CASES, build_fixture_vocab
+
+pytestmark = pytest.mark.skipif(
+    build_native() is None, reason="no C++ toolchain available"
+)
+
+
+@pytest.fixture(scope="module")
+def vocab():
+    return build_fixture_vocab()
+
+
+@pytest.fixture(scope="module")
+def native(vocab):
+    return NativeWordPiece(vocab.tokens, vocab.cls_id, vocab.sep_id)
+
+
+@pytest.fixture(scope="module")
+def py_tok(vocab):
+    return WordPieceTokenizer(vocab, warn_unknown=False, use_native=False)
+
+
+@pytest.mark.parametrize("case", range(len(GOLDEN_CASES)))
+def test_native_goldens(native, case):
+    text, expected = GOLDEN_CASES[case]
+    assert native.tokenize(text, 512) == expected
+
+
+def test_native_truncation(native, vocab):
+    ids = native.tokenize(" ".join(["go"] * 100), 16)
+    assert len(ids) == 16
+    assert ids[0] == vocab.cls_id and ids[-1] == vocab.sep_id
+
+
+def test_batch_api(native, py_tok):
+    texts = ["the store", "don't go anywhere", "Québec", ""]
+    batched = native.tokenize_batch(texts, 32)
+    for text, ids in zip(texts, batched):
+        assert ids == py_tok.tokenize(text, 32)
+
+
+def test_fuzz_equivalence(native, py_tok):
+    """Random strings (ASCII + accents + unicode + whitespace soup) must
+    tokenize identically in Python and C++."""
+    alphabet = (string.ascii_letters + string.digits + string.punctuation
+                + "  \t\n" + "àéîõüÀÉÎÕÜçÇñÑ" + "日本語😀ø")
+    rng = random.Random(0)
+    for trial in range(500):
+        n = rng.randint(0, 40)
+        s = "".join(rng.choice(alphabet) for _ in range(n))
+        cap = rng.choice([8, 32, 512])
+        py = py_tok.tokenize(s, cap)
+        nat = native.tokenize(s, cap)
+        assert py == nat, f"mismatch on {s!r} cap={cap}: {py} vs {nat}"
+
+
+def test_engine_uses_native_when_available(vocab):
+    tok = WordPieceTokenizer(vocab, use_native=True)
+    assert tok._native is not None
+    assert tok.tokenize("Québec", 512) == [101, 5447, 102]
