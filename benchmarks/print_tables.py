@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Render benchmarks/results/*/{task}.json into the README markdown tables
+(same score extraction as the reference's benchmarks/print_tables.py:
+cos_sim.spearman for STS tasks, main_score otherwise, plus
+evaluation_time)."""
+import glob
+import json
+import os
+import sys
+from collections import defaultdict
+
+RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results")
+
+
+def extract(path):
+    with open(path) as f:
+        data = json.load(f)
+    test = data.get("test", data)
+    if "cos_sim" in test and "spearman" in test.get("cos_sim", {}):
+        score = test["cos_sim"]["spearman"]
+    else:
+        score = test.get("main_score")
+    return score, test.get("evaluation_time")
+
+
+def main() -> None:
+    rows = defaultdict(dict)  # model -> mode -> {task: (score, time)}
+    for res_dir in sorted(glob.glob(os.path.join(RESULTS, "*"))):
+        name = os.path.basename(res_dir)
+        model, _, mode = name.rpartition("_")
+        for task_json in glob.glob(os.path.join(res_dir, "*.json")):
+            task = os.path.splitext(os.path.basename(task_json))[0]
+            rows[model].setdefault(mode, {})[task] = extract(task_json)
+
+    for model, modes in rows.items():
+        tasks = sorted({t for m in modes.values() for t in m})
+        print(f"\n### {model}\n")
+        header = "| mode | " + " | ".join(
+            f"{t} score | {t} time (s)" for t in tasks) + " |"
+        print(header)
+        print("|" + "---|" * (1 + 2 * len(tasks)))
+        for mode, results in sorted(modes.items()):
+            cells = []
+            for t in tasks:
+                score, dt = results.get(t, (None, None))
+                cells.append("" if score is None else f"{score:.4f}")
+                cells.append("" if dt is None else f"{dt:.2f}")
+            print("| " + mode + " | " + " | ".join(cells) + " |")
+
+
+if __name__ == "__main__":
+    main()

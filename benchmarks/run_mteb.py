@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""MTEB quality/performance harness — the reference's end-to-end validation
+protocol (benchmarks/run_mteb.py: STSBenchmark + EmotionClassification per
+dtype, plus sentence-transformers baselines), pointed at the TPU engine.
+
+Requires the ``mteb`` package and dataset downloads — both unavailable in a
+zero-egress sandbox, so this script degrades to a clear error; run it on a
+connected machine. Score extraction/printing matches print_tables.py.
+
+Usage:
+  python benchmarks/run_mteb.py -m models/all-MiniLM-L6-v2 \
+      [--modes q4_0 q4_1 f32 f16 sbert] [--tasks STSBenchmark EmotionClassification]
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TASKS = ["STSBenchmark", "EmotionClassification"]
+MODES = ["q4_0", "q4_1", "f32", "f16"]
+
+
+class TpuEngineForMTEB:
+    """MTEB model adapter: encode(list[str], **kw) -> np.ndarray."""
+
+    def __init__(self, model_path: str, mode: str):
+        from bert_tpu import BertTPU
+        from bert_tpu.quant import FTYPE_BY_NAME
+
+        if os.path.isdir(model_path):
+            qft = FTYPE_BY_NAME[mode] if mode in ("q4_0", "q4_1") else None
+            self.model = BertTPU.from_file(model_path, quantize_ftype=qft)
+        else:
+            self.model = BertTPU.from_file(model_path)
+
+    def encode(self, sentences, **kwargs):
+        return self.model.encode_batch(list(sentences))
+
+
+def run(args) -> None:
+    try:
+        import mteb
+    except ImportError:
+        sys.exit("the `mteb` package is not installed (zero-egress sandbox?) "
+                 "— install mteb and run on a connected machine")
+
+    for mode in args.modes:
+        if mode.startswith("sbert"):
+            from sentence_transformers import SentenceTransformer
+
+            model = SentenceTransformer(args.sbert_name, device="cpu")
+        else:
+            model = TpuEngineForMTEB(args.model, mode)
+        out_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "results",
+            f"{os.path.basename(os.path.normpath(args.model))}_{mode}",
+        )
+        tasks = mteb.get_tasks(tasks=args.tasks)
+        evaluation = mteb.MTEB(tasks=tasks)
+        evaluation.run(model, output_folder=out_dir,
+                       eval_splits=["test"], overwrite_results=True)
+        print(f"[{mode}] results in {out_dir}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-m", "--model", required=True,
+                    help="HF checkpoint dir (quantized per mode) or .bin")
+    ap.add_argument("--modes", nargs="+", default=MODES)
+    ap.add_argument("--tasks", nargs="+", default=TASKS)
+    ap.add_argument("--sbert-name",
+                    default="sentence-transformers/all-MiniLM-L6-v2")
+    run(ap.parse_args())
+
+
+if __name__ == "__main__":
+    main()

@@ -60,6 +60,9 @@ class BertTPU:
         self.max_batch = max_batch
         self.seq_buckets = list(seq_buckets) if seq_buckets is not None else \
             default_seq_buckets(self.config.n_max_tokens)
+        from .profiling import PhaseTimers
+
+        self.timers = PhaseTimers()
         # one host→device transfer at init; jit calls then hit by reference
         self.params = jax.device_put(loaded.params)
         self._encode_jit = jax.jit(
@@ -75,7 +78,16 @@ class BertTPU:
     @classmethod
     def from_file(cls, path: str, quantize_ftype: Optional[int] = None,
                   **kw) -> "BertTPU":
+        """Load a ggml-bin file, HF checkpoint dir, or .npz weight cache."""
         return cls(load_model(path, quantize_ftype=quantize_ftype), **kw)
+
+    def save_cache(self, path: str) -> None:
+        """Write the native .npz weight cache (stacked MXU-tiled params +
+        vocab): reloads via from_file without ggml parsing or re-packing."""
+        from .checkpoint import save_params
+
+        host_params = jax.tree_util.tree_map(np.asarray, self.params)
+        save_params(path, host_params, self.config, self.vocab.tokens)
 
     # -- introspection (bert.h:79-82) ---------------------------------------
     @property
@@ -107,21 +119,32 @@ class BertTPU:
         plan = plan_buckets([len(t) for t in token_lists],
                             self.seq_buckets, self.max_batch)
         pending = []
-        for seq_b, batch_b, idxs in plan.groups:
-            ids, mask = self.tokenizer.pad_batch(
-                [token_lists[i] for i in idxs], seq_b, batch_size=batch_b
-            )
-            emb = self._encode_jit(self.params, jnp.asarray(ids),
-                                   jnp.asarray(mask))
-            pending.append((idxs, emb))
-        for idxs, emb in pending:
-            out[np.asarray(idxs)] = np.asarray(emb[: len(idxs)])
+        with self.timers.phase("dispatch"):
+            for seq_b, batch_b, idxs in plan.groups:
+                ids, mask = self.tokenizer.pad_batch(
+                    [token_lists[i] for i in idxs], seq_b, batch_size=batch_b
+                )
+                emb = self._encode_jit(self.params, jnp.asarray(ids),
+                                       jnp.asarray(mask))
+                self.timers.record_bucket(batch_b, seq_b)
+                pending.append((idxs, emb))
+        with self.timers.phase("gather"):
+            for idxs, emb in pending:
+                out[np.asarray(idxs)] = np.asarray(emb[: len(idxs)])
+        self.timers.sentences += n
         return out
 
     def encode_batch(self, texts: Sequence[str]) -> np.ndarray:
         """Tokenize + embed a batch of sentences (bert_encode_batch)."""
-        toks = self.tokenizer.tokenize_batch(texts, self.config.n_max_tokens)
+        with self.timers.phase("tokenize"):
+            toks = self.tokenizer.tokenize_batch(texts,
+                                                 self.config.n_max_tokens)
         return self.eval_tokens(toks)
+
+    def stats(self) -> dict:
+        """Host-side phase timings + bucket execution counts
+        (bert_tpu.profiling.PhaseTimers)."""
+        return self.timers.summary()
 
     def encode(self, text: str) -> np.ndarray:
         """Single-sentence convenience (bert_encode, bert.cpp:943-950)."""

@@ -146,7 +146,16 @@ def _hf_state_dict(model_dir: str) -> Dict[str, np.ndarray]:
 
 def load_model(path: str,
                quantize_ftype: Optional[int] = None) -> LoadedModel:
-    """Dispatch: ggml-bin file vs HF directory."""
+    """Dispatch: native .npz weight cache, ggml-bin file, or HF directory."""
     if os.path.isdir(path):
         return load_hf_model(path, quantize_ftype=quantize_ftype)
+    if path.endswith(".npz"):
+        from .checkpoint import load_params_and_vocab
+
+        config, params, vocab_tokens = load_params_and_vocab(path)
+        if vocab_tokens is None:
+            raise ValueError(f"{path}: weight cache has no vocab; "
+                             "save with vocab_tokens")
+        return LoadedModel(config=config, params=params,
+                           vocab=Vocab.from_tokens(vocab_tokens))
     return load_ggml_model(path)

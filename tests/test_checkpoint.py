@@ -1,0 +1,107 @@
+"""Weight-cache and train-state checkpoint round-trips."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from bert_tpu.checkpoint import (
+    load_params,
+    load_train_state,
+    save_params,
+    save_train_state,
+)
+from bert_tpu.model import bert_forward
+from bert_tpu.params import (
+    BertConfig,
+    params_from_named_tensors,
+    random_named_tensors,
+)
+from bert_tpu.quant import QuantTensor
+
+CFG = BertConfig(n_vocab=96, n_max_tokens=32, n_embd=64,
+                 n_intermediate=128, n_head=4, n_layer=2, ftype=2)
+
+
+def test_weight_cache_roundtrip_quantized(tmp_path):
+    named = random_named_tensors(CFG, seed=2)
+    params = params_from_named_tensors(named, CFG, quantize_ftype=2)
+    path = str(tmp_path / "cache.npz")
+    save_params(path, params, CFG)
+    cfg2, params2 = load_params(path)
+    assert cfg2 == CFG
+    assert isinstance(params2["layers"]["q_w"], QuantTensor)
+    np.testing.assert_array_equal(params["layers"]["q_w"].packed,
+                                  params2["layers"]["q_w"].packed)
+
+    ids = np.array([[1, 2, 3, 4]], np.int32)
+    mask = np.ones((1, 4), np.float32)
+    e1 = np.asarray(bert_forward(params, jnp.asarray(ids),
+                                 jnp.asarray(mask), CFG))
+    e2 = np.asarray(bert_forward(params2, jnp.asarray(ids),
+                                 jnp.asarray(mask), cfg2))
+    np.testing.assert_allclose(e1, e2, atol=0)
+
+
+def test_weight_cache_roundtrip_dense(tmp_path):
+    params = params_from_named_tensors(random_named_tensors(CFG, 3), CFG)
+    path = str(tmp_path / "dense.npz")
+    save_params(path, params, CFG)
+    _, params2 = load_params(path)
+    for k in params["layers"]:
+        np.testing.assert_array_equal(params["layers"][k],
+                                      params2["layers"][k])
+
+
+def test_train_state_roundtrip(tmp_path):
+    from bert_tpu.train import init_train_state, make_optimizer, make_train_step
+
+    params = params_from_named_tensors(random_named_tensors(CFG, 4), CFG)
+    opt = make_optimizer(1e-3)
+    state = init_train_state(params, opt)
+    step = make_train_step(CFG, opt)
+    rng = np.random.default_rng(0)
+    batch = {
+        "ids_a": jnp.asarray(rng.integers(0, CFG.n_vocab, (4, 8),
+                                          dtype=np.int32)),
+        "mask_a": jnp.ones((4, 8), jnp.float32),
+        "ids_b": jnp.asarray(rng.integers(0, CFG.n_vocab, (4, 8),
+                                          dtype=np.int32)),
+        "mask_b": jnp.ones((4, 8), jnp.float32),
+    }
+    state, _ = step(state, batch)
+    ckpt = str(tmp_path / "ckpt")
+    save_train_state(ckpt, state)
+    restored = load_train_state(ckpt, state)
+    assert int(restored.step) == 1
+    np.testing.assert_allclose(
+        np.asarray(restored.params["layers"]["q_w"]),
+        np.asarray(state.params["layers"]["q_w"]), atol=0)
+    # resumed state continues training
+    state2, metrics = step(restored, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 2
+
+
+def test_engine_weight_cache_roundtrip(tmp_path):
+    """BertTPU.save_cache → from_file(.npz): same embeddings, vocab intact."""
+    from bert_tpu.engine import BertTPU
+    from bert_tpu.loader import LoadedModel
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from fixture_vocab import build_fixture_vocab
+
+    loaded = LoadedModel(
+        config=CFG,
+        params=params_from_named_tensors(random_named_tensors(CFG, 6), CFG,
+                                         quantize_ftype=2),
+        vocab=build_fixture_vocab(),
+    )
+    m1 = BertTPU(loaded)
+    path = str(tmp_path / "model.npz")
+    m1.save_cache(path)
+    m2 = BertTPU.from_file(path)
+    assert m2.tokenize("Québec") == [101, 5447, 102]
+    e1 = m1.encode_batch(["the store", "go"])
+    e2 = m2.encode_batch(["the store", "go"])
+    np.testing.assert_allclose(e1, e2, atol=1e-6)
