@@ -23,9 +23,12 @@ from .formats.ggml_bin import GgmlModelFile, read_ggml
 from .params import (
     BertConfig,
     expected_tensor_names,
+    fuse_qkv_bias,
+    fuse_qkv_weights,
     params_from_named_tensors,
     _LAYER_WEIGHTS,
     _MATMUL_KEYS,
+    _QKV_SOURCES,
     _EMB_WEIGHTS,
 )
 from .quant import (
@@ -64,7 +67,44 @@ def params_from_ggml(mf: GgmlModelFile) -> Tuple[BertConfig, Dict[str, Any]]:
     for key, name in _EMB_WEIGHTS.items():
         emb[key] = mf.tensors[name].to_f32()
 
+    h, dh = config.n_head, config.d_head
+
+    def qkv_row_order() -> np.ndarray:
+        """Row permutation mapping stacked [q; k; v] (3D rows of the stored
+        [out, in] tensors) to the head-interleaved fused order."""
+        d = config.n_embd
+        idx = np.empty(3 * d, dtype=np.int64)
+        for head in range(h):
+            for kind in range(3):
+                src = kind * d + head * dh
+                dst = head * 3 * dh + kind * dh
+                idx[dst:dst + dh] = np.arange(src, src + dh)
+        return idx
+
     layers: Dict[str, Any] = {}
+
+    # fused QKV: stored tensors are [out, in] with q4 blocks along in, so
+    # fusing is a pure ROW concat+permute of the stored layout — bit-exact
+    # for quantized files (blocks are per-row).
+    order = qkv_row_order()
+    qt_list, w_list, b_list = [], [], []
+    for i in range(config.n_layer):
+        recs = [mf.tensors[_QKV_SOURCES[k].format(i=i) + ".weight"]
+                for k in ("q", "k", "v")]
+        brecs = [mf.tensors[_QKV_SOURCES[k].format(i=i) + ".bias"]
+                 for k in ("q", "k", "v")]
+        b_list.append(fuse_qkv_bias(*[r.to_f32() for r in brecs], h))
+        if recs[0].ftype in (GGML_FTYPE_Q4_0, GGML_FTYPE_Q4_1):
+            codes = np.concatenate([r.codes for r in recs], axis=0)[order]
+            scales = np.concatenate([r.scales for r in recs], axis=0)[order]
+            mins = (np.concatenate([r.mins for r in recs], axis=0)[order]
+                    if recs[0].mins is not None else None)
+            qt_list.append(repack_codes_tpu(codes, scales, mins))
+        else:
+            w_list.append(fuse_qkv_weights(*[r.to_f32().T for r in recs], h))
+    layers["qkv_w"] = _stack_quant(qt_list) if qt_list else np.stack(w_list)
+    layers["qkv_b"] = np.stack(b_list)
+
     for key, tmpl in _LAYER_WEIGHTS.items():
         recs = [mf.tensors[tmpl.format(i=i)] for i in range(config.n_layer)]
         if key in _MATMUL_KEYS and recs[0].ftype in (GGML_FTYPE_Q4_0,

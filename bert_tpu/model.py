@@ -92,16 +92,14 @@ def encoder_layer(
     row-sharded, so each of the two residual branches ends with one psum.
     """
     b, t, _ = x.shape
-    h = config.n_head
-    # local head count: under TP the stacked QKV out-dim is sharded h/tp ways
-    def heads(y):
-        dh = config.d_head
-        hl = y.shape[-1] // dh
-        return y.reshape(b, t, hl, dh).transpose(0, 2, 1, 3)
-
-    q = heads(dense(x, lp["q_w"], lp["q_b"], use_pallas=use_pallas))
-    k = heads(dense(x, lp["k_w"], lp["k_b"], use_pallas=use_pallas))
-    v = heads(dense(x, lp["v_w"], lp["v_b"], use_pallas=use_pallas))
+    dh = config.d_head
+    # ONE fused head-interleaved QKV matmul (see params.py): the out dim is
+    # [H, 3, d_head]-ordered, so under TP a column shard holds whole heads
+    # and the local head count falls out of the shard width.
+    qkv = dense(x, lp["qkv_w"], lp["qkv_b"], use_pallas=use_pallas)
+    hl = qkv.shape[-1] // (3 * dh)  # local heads (h/tp under TP)
+    qkv = qkv.reshape(b, t, hl, 3, dh).transpose(0, 2, 3, 1, 4)  # [B,hl,3,T,dh]
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
     scale = 1.0 / (config.d_head ** 0.5)  # bert.cpp:848
     # Fused-attention policy: the Pallas kernel pays off when the [T, T]

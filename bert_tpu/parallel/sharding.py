@@ -29,10 +29,11 @@ from jax.sharding import PartitionSpec as P
 
 from .mesh import DATA_AXIS, MODEL_AXIS
 
-# stacked layer weights: [L, K, N]
-_COL_PARALLEL = {"q_w", "k_w", "v_w", "ff_i_w"}  # shard N (out)
+# stacked layer weights: [L, K, N]. qkv_w's out dim is head-interleaved
+# (params.py), so a contiguous column shard holds whole heads.
+_COL_PARALLEL = {"qkv_w", "ff_i_w"}  # shard N (out)
 _ROW_PARALLEL = {"o_w", "ff_o_w"}  # shard K (in)
-_COL_BIAS = {"q_b", "k_b", "v_b", "ff_i_b"}  # [L, N] shard N
+_COL_BIAS = {"qkv_b", "ff_i_b"}  # [L, N] shard N
 
 
 def param_pspecs(tp_axis: Optional[str] = MODEL_AXIS) -> Dict[str, Any]:

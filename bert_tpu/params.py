@@ -82,21 +82,51 @@ class BertConfig:
 # {
 #   "embeddings": {word [V,D], token_type [2,D], position [P,D],
 #                  ln_scale [D], ln_bias [D]},
-#   "layers": {q_w [L,D,D] (or QuantTensor with leading L), q_b [L,D],
-#              k_w, k_b, v_w, v_b, o_w, o_b,
+#   "layers": {qkv_w [L,D,3D] (or QuantTensor with leading L), qkv_b [L,3D],
+#              o_w [L,D,D], o_b [L,D],
 #              ln_att_scale [L,D], ln_att_bias [L,D],
 #              ff_i_w [L,D,F], ff_i_b [L,F], ff_o_w [L,F,D], ff_o_b [L,D],
 #              ln_out_scale [L,D], ln_out_bias [L,D]}
 # }
+#
+# QKV fusion: the three projections run as ONE [D, 3D] matmul (2.2–2.4×
+# faster than three [D, D] dots on v5e at the model's shapes). Columns are
+# HEAD-INTERLEAVED — for head h: [q_h | k_h | v_h], each d_head wide — so
+# (a) the epilogue split is a reshape to [..., H, 3, d_head], and
+# (b) tensor-parallel column sharding cuts on whole-head boundaries.
+# Q4 quantization blocks run along K, so fusing columns is bit-exact vs
+# quantizing q/k/v separately.
+
+
+def fuse_qkv_weights(wq: np.ndarray, wk: np.ndarray, wv: np.ndarray,
+                     n_head: int) -> np.ndarray:
+    """Three [K, D] (in, out) weights → one head-interleaved [K, 3D]."""
+    k, d = wq.shape
+    dh = d // n_head
+    stacked = np.stack(
+        [wq.reshape(k, n_head, dh), wk.reshape(k, n_head, dh),
+         wv.reshape(k, n_head, dh)], axis=2,
+    )  # [K, H, 3, dh]
+    return np.ascontiguousarray(stacked.reshape(k, 3 * d))
+
+
+def fuse_qkv_bias(bq: np.ndarray, bk: np.ndarray, bv: np.ndarray,
+                  n_head: int) -> np.ndarray:
+    d = bq.shape[0]
+    dh = d // n_head
+    stacked = np.stack(
+        [bq.reshape(n_head, dh), bk.reshape(n_head, dh),
+         bv.reshape(n_head, dh)], axis=1,
+    )  # [H, 3, dh]
+    return np.ascontiguousarray(stacked.reshape(3 * d))
 
 # HF tensor-name templates (bert.cpp:536-553, convert-to-ggml.py)
+_QKV_SOURCES = {  # fused into qkv_w / qkv_b
+    "q": "encoder.layer.{i}.attention.self.query",
+    "k": "encoder.layer.{i}.attention.self.key",
+    "v": "encoder.layer.{i}.attention.self.value",
+}
 _LAYER_WEIGHTS = {
-    "q_w": "encoder.layer.{i}.attention.self.query.weight",
-    "q_b": "encoder.layer.{i}.attention.self.query.bias",
-    "k_w": "encoder.layer.{i}.attention.self.key.weight",
-    "k_b": "encoder.layer.{i}.attention.self.key.bias",
-    "v_w": "encoder.layer.{i}.attention.self.value.weight",
-    "v_b": "encoder.layer.{i}.attention.self.value.bias",
     "o_w": "encoder.layer.{i}.attention.output.dense.weight",
     "o_b": "encoder.layer.{i}.attention.output.dense.bias",
     "ln_att_scale": "encoder.layer.{i}.attention.output.LayerNorm.weight",
@@ -108,7 +138,7 @@ _LAYER_WEIGHTS = {
     "ln_out_scale": "encoder.layer.{i}.output.LayerNorm.weight",
     "ln_out_bias": "encoder.layer.{i}.output.LayerNorm.bias",
 }
-_MATMUL_KEYS = {"q_w", "k_w", "v_w", "o_w", "ff_i_w", "ff_o_w"}
+_MATMUL_KEYS = {"qkv_w", "o_w", "ff_i_w", "ff_o_w"}
 
 _EMB_WEIGHTS = {
     "word": "embeddings.word_embeddings.weight",
@@ -122,6 +152,9 @@ _EMB_WEIGHTS = {
 def expected_tensor_names(config: BertConfig) -> list:
     names = list(_EMB_WEIGHTS.values())
     for i in range(config.n_layer):
+        for base in _QKV_SOURCES.values():
+            names.append(base.format(i=i) + ".weight")
+            names.append(base.format(i=i) + ".bias")
         names.extend(t.format(i=i) for t in _LAYER_WEIGHTS.values())
     return names
 
@@ -151,24 +184,38 @@ def params_from_named_tensors(
     emb["ln_scale"] = get(_EMB_WEIGHTS["ln_scale"])  # keep f32
     emb["ln_bias"] = get(_EMB_WEIGHTS["ln_bias"])
 
+    quantize = quantize_ftype in (GGML_FTYPE_Q4_0, GGML_FTYPE_Q4_1)
+
+    def stack_matmul(per_layer):
+        """[in, out] weights per layer → stacked dense or QuantTensor."""
+        if quantize:
+            qts = [quantize_tensor_tpu(w, quantize_ftype) for w in per_layer]
+            return QuantTensor(
+                packed=np.stack([q.packed for q in qts]),
+                scales=np.stack([q.scales for q in qts]),
+                mins=(np.stack([q.mins for q in qts])
+                      if qts[0].mins is not None else None),
+            )
+        return np.stack(per_layer).astype(dtype)
+
     layers: Dict[str, WeightLike] = {}
+    qkv_w, qkv_b = [], []
+    for i in range(config.n_layer):
+        ws = {k: get(v.format(i=i) + ".weight").T  # [out,in] → [in,out]
+              for k, v in _QKV_SOURCES.items()}
+        bs = {k: get(v.format(i=i) + ".bias") for k, v in _QKV_SOURCES.items()}
+        qkv_w.append(fuse_qkv_weights(ws["q"], ws["k"], ws["v"],
+                                      config.n_head))
+        qkv_b.append(fuse_qkv_bias(bs["q"], bs["k"], bs["v"], config.n_head))
+    layers["qkv_w"] = stack_matmul(qkv_w)
+    layers["qkv_b"] = np.stack(qkv_b).astype(np.float32)
+
     for key, tmpl in _LAYER_WEIGHTS.items():
         per_layer = [get(tmpl.format(i=i)) for i in range(config.n_layer)]
         if key in _MATMUL_KEYS:
-            per_layer = [w.T for w in per_layer]  # [out,in] → [in,out]
-            if quantize_ftype in (GGML_FTYPE_Q4_0, GGML_FTYPE_Q4_1):
-                qts = [quantize_tensor_tpu(w, quantize_ftype) for w in per_layer]
-                layers[key] = QuantTensor(
-                    packed=np.stack([q.packed for q in qts]),
-                    scales=np.stack([q.scales for q in qts]),
-                    mins=(np.stack([q.mins for q in qts])
-                          if qts[0].mins is not None else None),
-                )
-                continue
-            layers[key] = np.stack(per_layer).astype(dtype)
-            continue
-        is_ln = key.startswith("ln_")
-        layers[key] = np.stack(per_layer).astype(np.float32 if is_ln else np.float32)
+            layers[key] = stack_matmul([w.T for w in per_layer])
+        else:
+            layers[key] = np.stack(per_layer).astype(np.float32)
 
     return {"embeddings": emb, "layers": layers}
 

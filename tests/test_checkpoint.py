@@ -30,9 +30,9 @@ def test_weight_cache_roundtrip_quantized(tmp_path):
     save_params(path, params, CFG)
     cfg2, params2 = load_params(path)
     assert cfg2 == CFG
-    assert isinstance(params2["layers"]["q_w"], QuantTensor)
-    np.testing.assert_array_equal(params["layers"]["q_w"].packed,
-                                  params2["layers"]["q_w"].packed)
+    assert isinstance(params2["layers"]["qkv_w"], QuantTensor)
+    np.testing.assert_array_equal(params["layers"]["qkv_w"].packed,
+                                  params2["layers"]["qkv_w"].packed)
 
     ids = np.array([[1, 2, 3, 4]], np.int32)
     mask = np.ones((1, 4), np.float32)
@@ -75,8 +75,8 @@ def test_train_state_roundtrip(tmp_path):
     restored = load_train_state(ckpt, state)
     assert int(restored.step) == 1
     np.testing.assert_allclose(
-        np.asarray(restored.params["layers"]["q_w"]),
-        np.asarray(state.params["layers"]["q_w"]), atol=0)
+        np.asarray(restored.params["layers"]["qkv_w"]),
+        np.asarray(state.params["layers"]["qkv_w"]), atol=0)
     # resumed state continues training
     state2, metrics = step(restored, batch)
     assert np.isfinite(float(metrics["loss"]))
