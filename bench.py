@@ -74,7 +74,7 @@ def main() -> None:
             f"({os.path.getsize(path) / 1e6:.1f} MB)")
 
     t0 = time.time()
-    model = BertTPU.from_file(path, max_batch=256)
+    model = BertTPU.from_file(path, max_batch=2048)
     log(f"loaded in {time.time() - t0:.1f}s")
 
     sentences = synth_sentences(N_SENTENCES)
