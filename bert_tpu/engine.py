@@ -47,6 +47,7 @@ class BertTPU:
         use_pallas: Optional[bool] = None,
         max_batch: int = 128,
         seq_buckets: Optional[Sequence[int]] = None,
+        wire_dtype: Optional[str] = None,
     ):
         enable_compilation_cache()
         self.config: BertConfig = loaded.config
@@ -60,19 +61,36 @@ class BertTPU:
         self.max_batch = max_batch
         self.seq_buckets = list(seq_buckets) if seq_buckets is not None else \
             default_seq_buckets(self.config.n_max_tokens)
+        # Wire dtype for the device→host result gather. Embeddings are
+        # computed in ``compute_dtype`` (bf16 on TPU: 8 mantissa bits), so an
+        # f16 wire (10 mantissa bits) is lossless relative to the compute
+        # precision while halving d2h bytes — it is the TPU default. "int8"
+        # quarters the bytes (unit-norm outputs fixed-point scaled by 127,
+        # re-normalized on host); "f32" is exact.
+        if wire_dtype is None:
+            wire_dtype = ("f16" if jax.default_backend() == "tpu" else "f32")
+        if wire_dtype not in ("f32", "f16", "int8"):
+            raise ValueError(f"wire_dtype must be f32/f16/int8, "
+                             f"got {wire_dtype!r}")
+        self.wire_dtype = wire_dtype
         from .profiling import PhaseTimers
 
         self.timers = PhaseTimers()
         # one host→device transfer at init; jit calls then hit by reference
         self.params = jax.device_put(loaded.params)
-        self._encode_jit = jax.jit(
-            functools.partial(
-                bert_forward,
-                config=self.config,
-                compute_dtype=self.compute_dtype,
-                use_pallas=self.use_pallas,
-            )
-        )
+
+        def encode(params, token_ids, mask):
+            emb = bert_forward(params, token_ids, mask, config=self.config,
+                               compute_dtype=self.compute_dtype,
+                               use_pallas=self.use_pallas)
+            if self.wire_dtype == "f16":
+                emb = emb.astype(jnp.float16)
+            elif self.wire_dtype == "int8":
+                emb = jnp.clip(jnp.round(emb * 127.0), -127, 127
+                               ).astype(jnp.int8)
+            return emb
+
+        self._encode_jit = jax.jit(encode)
 
     # -- constructors --------------------------------------------------------
     @classmethod
@@ -112,7 +130,9 @@ class BertTPU:
         All bucket batches are dispatched asynchronously (JAX async
         dispatch), then gathered once — the host never blocks between
         batches, so TPU compute overlaps host-side padding of the next
-        bucket.
+        bucket. Result transfers are started with ``copy_to_host_async`` as
+        soon as each batch is dispatched, so d2h of batch i overlaps compute
+        and d2h of batch i+1 instead of serializing at the end.
         """
         n = len(token_lists)
         out = np.empty((n, self.config.n_embd), dtype=np.float32)
@@ -125,12 +145,18 @@ class BertTPU:
                     [token_lists[i] for i in idxs], seq_b, batch_size=batch_b
                 )
                 emb = self._encode_jit(self.params, jnp.asarray(ids),
-                                       jnp.asarray(mask))
+                                       jnp.asarray(mask))[: len(idxs)]
+                emb.copy_to_host_async()
                 self.timers.record_bucket(batch_b, seq_b)
                 pending.append((idxs, emb))
         with self.timers.phase("gather"):
             for idxs, emb in pending:
-                out[np.asarray(idxs)] = np.asarray(emb[: len(idxs)])
+                out[np.asarray(idxs)] = np.asarray(emb, dtype=np.float32)
+        if self.wire_dtype == "int8":
+            # fixed-point wire: undo the 127 scale by re-normalizing (outputs
+            # are unit-norm by construction, bert.cpp:911-913 semantics)
+            norms = np.linalg.norm(out, axis=-1, keepdims=True)
+            np.divide(out, np.maximum(norms, 1e-12), out=out)
         self.timers.sentences += n
         return out
 
