@@ -26,13 +26,20 @@ import logging
 import struct
 import sys
 import time
-from typing import List, Optional, Tuple
+from typing import List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
 logger = logging.getLogger(__name__)
 
 MAX_MSG = 1 << 15  # reference read buffer size (server.cpp:27)
+
+# Optional framed token-eval message (used by csrc/bert_client.cpp to back
+# the C API's bert_eval/bert_eval_batch with exact pre-tokenized inputs):
+# magic, int32 n_tokens, then n_tokens little-endian int32 ids. The magic
+# starts with 0xB5 — an invalid UTF-8 lead-in position — so no real text
+# message can collide with it and plain-text clients stay byte-compatible.
+BIN_EVAL_MAGIC = b"\xb5\x87\xe3\x01"
 
 
 class BatchingScheduler:
@@ -51,6 +58,12 @@ class BatchingScheduler:
     async def submit(self, text: str) -> np.ndarray:
         fut: asyncio.Future = asyncio.get_running_loop().create_future()
         await self.queue.put((text, fut))
+        return await fut
+
+    async def submit_tokens(self, token_ids: Sequence[int]) -> np.ndarray:
+        """Pre-tokenized request (framed binary message / C API bert_eval)."""
+        fut: asyncio.Future = asyncio.get_running_loop().create_future()
+        await self.queue.put((list(token_ids), fut))
         return await fut
 
     def start(self) -> None:
@@ -79,16 +92,28 @@ class BatchingScheduler:
                 break
         return batch
 
+    def _eval_mixed(self, payloads: List[Union[str, List[int]]]) -> np.ndarray:
+        """Evaluate a batch that may mix raw texts and pre-tokenized ids."""
+        toks: List[List[int]] = list(payloads)  # type: ignore[arg-type]
+        text_idx = [i for i, p in enumerate(payloads) if isinstance(p, str)]
+        if text_idx:
+            tokenized = self.model.tokenizer.tokenize_batch(
+                [payloads[i] for i in text_idx], self.model.n_max_tokens
+            )
+            for i, t in zip(text_idx, tokenized):
+                toks[i] = t
+        return self.model.eval_tokens(toks)
+
     async def _run(self) -> None:
         loop = asyncio.get_running_loop()
         while True:
             batch = await self._collect()
-            texts = [t for t, _ in batch]
+            payloads = [t for t, _ in batch]
             try:
-                # encode_batch blocks on device results → thread executor,
+                # evaluation blocks on device results → thread executor,
                 # so the event loop keeps accepting/collecting meanwhile
                 embs = await loop.run_in_executor(
-                    None, self.model.encode_batch, texts
+                    None, self._eval_mixed, payloads
                 )
                 for (_, fut), emb in zip(batch, embs):
                     if not fut.done():
@@ -125,8 +150,26 @@ class EmbeddingServer:
                 data = await reader.read(MAX_MSG)
                 if not data:
                     break
-                text = data.decode("utf-8", errors="replace")
-                emb = await self.scheduler.submit(text)
+                if data.startswith(BIN_EVAL_MAGIC):
+                    # framed pre-tokenized eval (exact lengths, so finish
+                    # reading if the ids straddled the first read)
+                    while len(data) < 8:
+                        more = await reader.read(8 - len(data))
+                        if not more:
+                            return
+                        data += more
+                    (n_tok,) = struct.unpack_from("<i", data, 4)
+                    need = 8 + 4 * max(n_tok, 0)
+                    while len(data) < need:
+                        more = await reader.read(need - len(data))
+                        if not more:
+                            return
+                        data += more
+                    ids = np.frombuffer(data[8:need], dtype="<i4").tolist()
+                    emb = await self.scheduler.submit_tokens(ids)
+                else:
+                    text = data.decode("utf-8", errors="replace")
+                    emb = await self.scheduler.submit(text)
                 writer.write(np.asarray(emb, dtype="<f4").tobytes())
                 await writer.drain()
         except (ConnectionResetError, asyncio.IncompleteReadError):

@@ -1,0 +1,465 @@
+// libbert.so — drop-in C ABI for bert_tpu (see bert_compat.h).
+//
+// Architecture: the reference's libbert runs the whole engine in-process on
+// a CPU thread pool; here the engine is a JAX/TPU process, so the C ABI is
+// a thin native CLIENT. bert_load_from_file() spawns `python -m
+// bert_tpu.server -m <model>` (or connects to "host:port") and speaks the
+// reference-compatible wire protocol (examples/server.cpp:26-34,107: int32
+// n_embd handshake; UTF-8 text -> n_embd f32). bert_eval/_batch use the
+// framed binary extension (bert_tpu/server.py BIN_EVAL_MAGIC) to ship
+// pre-tokenized ids exactly. Tokenization and vocab introspection are
+// local: the ggml-bin header + vocab are parsed here and fed to the same
+// native WordPiece core as bert_tpu/native.py (csrc/wordpiece.cpp), so
+// bert_tokenize returns bit-identical ids to the Python engine.
+//
+// Environment knobs:
+//   BERT_TPU_PYTHON           python executable for the spawned server
+//                             (default "python3")
+//   BERT_TPU_SERVER_ARGS      extra args appended to the server command
+//   BERT_TPU_CONNECT_TIMEOUT  seconds to wait for the server (default 600)
+
+#include "bert_compat.h"
+
+#include <arpa/inet.h>
+#include <netinet/in.h>
+#include <netinet/tcp.h>
+#include <signal.h>
+#include <sys/socket.h>
+#include <sys/types.h>
+#include <sys/wait.h>
+#include <unistd.h>
+
+#include <cerrno>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <ctime>
+#include <string>
+#include <vector>
+
+// native WordPiece core (csrc/wordpiece.cpp, linked into this library)
+extern "C" {
+void *wp_vocab_create(const uint8_t *buf, int64_t buf_len, int32_t n_tokens,
+                      int32_t cls_id, int32_t sep_id);
+void wp_vocab_free(void *vocab);
+int32_t wp_tokenize(void *vocab, const char *text, int64_t text_len,
+                    int32_t *out, int32_t n_max_tokens);
+}
+
+namespace {
+
+constexpr uint32_t kGgmlMagic = 0x67676d6c;  // SURVEY.md §2.4
+constexpr unsigned char kBinEvalMagic[4] = {0xb5, 0x87, 0xe3, 0x01};
+
+struct Hparams {
+    int32_t n_vocab, n_max_tokens, n_embd, n_intermediate, n_head, n_layer,
+        ftype;
+};
+
+bool send_all(int fd, const void *buf, size_t len) {
+    const char *p = static_cast<const char *>(buf);
+    while (len > 0) {
+        ssize_t n = ::send(fd, p, len, 0);
+        if (n <= 0) {
+            if (n < 0 && errno == EINTR) continue;
+            return false;
+        }
+        p += n;
+        len -= static_cast<size_t>(n);
+    }
+    return true;
+}
+
+bool recv_all(int fd, void *buf, size_t len) {
+    char *p = static_cast<char *>(buf);
+    while (len > 0) {
+        ssize_t n = ::recv(fd, p, len, 0);
+        if (n <= 0) {
+            if (n < 0 && errno == EINTR) continue;
+            return false;
+        }
+        p += n;
+        len -= static_cast<size_t>(n);
+    }
+    return true;
+}
+
+double now_s() {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return ts.tv_sec + ts.tv_nsec * 1e-9;
+}
+
+int pick_free_port() {
+    int fd = ::socket(AF_INET, SOCK_STREAM, 0);
+    if (fd < 0) return -1;
+    sockaddr_in addr{};
+    addr.sin_family = AF_INET;
+    addr.sin_addr.s_addr = htonl(INADDR_LOOPBACK);
+    addr.sin_port = 0;
+    if (::bind(fd, reinterpret_cast<sockaddr *>(&addr), sizeof(addr)) != 0) {
+        ::close(fd);
+        return -1;
+    }
+    socklen_t len = sizeof(addr);
+    ::getsockname(fd, reinterpret_cast<sockaddr *>(&addr), &len);
+    int port = ntohs(addr.sin_port);
+    ::close(fd);
+    return port;
+}
+
+int connect_to(const char *host, int port) {
+    int fd = ::socket(AF_INET, SOCK_STREAM, 0);
+    if (fd < 0) return -1;
+    sockaddr_in addr{};
+    addr.sin_family = AF_INET;
+    addr.sin_port = htons(static_cast<uint16_t>(port));
+    if (::inet_pton(AF_INET, host, &addr.sin_addr) != 1) {
+        // resolve "localhost" and friends without pulling in full resolver
+        if (std::strcmp(host, "localhost") == 0) {
+            addr.sin_addr.s_addr = htonl(INADDR_LOOPBACK);
+        } else {
+            ::close(fd);
+            return -1;
+        }
+    }
+    if (::connect(fd, reinterpret_cast<sockaddr *>(&addr), sizeof(addr)) != 0) {
+        ::close(fd);
+        return -1;
+    }
+    int one = 1;
+    ::setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+    return fd;
+}
+
+}  // namespace
+
+struct bert_ctx {
+    int fd = -1;
+    pid_t child = 0;
+    Hparams hp{};
+    void *wp_vocab = nullptr;
+    std::vector<std::string> id_to_token;
+};
+
+namespace {
+
+// Parse the ggml-bin header + vocab (format: SURVEY.md §2.4 — magic,
+// 7 int32 hparams, n_vocab × (uint32 len + bytes)). Weight records are not
+// read here; the spawned server loads them.
+bool load_header_and_vocab(const char *fname, bert_ctx *ctx) {
+    FILE *f = std::fopen(fname, "rb");
+    if (!f) {
+        std::fprintf(stderr, "bert_client: cannot open %s\n", fname);
+        return false;
+    }
+    uint32_t magic = 0;
+    if (std::fread(&magic, 4, 1, f) != 1 || magic != kGgmlMagic) {
+        std::fprintf(stderr, "bert_client: bad magic in %s\n", fname);
+        std::fclose(f);
+        return false;
+    }
+    int32_t raw[7];
+    if (std::fread(raw, 4, 7, f) != 7) {
+        std::fclose(f);
+        return false;
+    }
+    ctx->hp = {raw[0], raw[1], raw[2], raw[3], raw[4], raw[5], raw[6]};
+
+    std::string vocab_buf;
+    ctx->id_to_token.reserve(static_cast<size_t>(ctx->hp.n_vocab));
+    int32_t cls_id = 101, sep_id = 102;  // bert.cpp:259-260 defaults
+    for (int32_t i = 0; i < ctx->hp.n_vocab; ++i) {
+        uint32_t len = 0;
+        if (std::fread(&len, 4, 1, f) != 1) {
+            std::fclose(f);
+            return false;
+        }
+        std::string tok(len, '\0');
+        if (len > 0 && std::fread(&tok[0], 1, len, f) != len) {
+            std::fclose(f);
+            return false;
+        }
+        if (tok == "[CLS]") cls_id = i;
+        if (tok == "[SEP]") sep_id = i;
+        vocab_buf.append(reinterpret_cast<const char *>(&len), 4);
+        vocab_buf.append(tok);
+        ctx->id_to_token.push_back(std::move(tok));
+    }
+    std::fclose(f);
+    ctx->wp_vocab = wp_vocab_create(
+        reinterpret_cast<const uint8_t *>(vocab_buf.data()),
+        static_cast<int64_t>(vocab_buf.size()), ctx->hp.n_vocab, cls_id,
+        sep_id);
+    return ctx->wp_vocab != nullptr;
+}
+
+bool spawn_server(const char *fname, int port, bert_ctx *ctx) {
+    const char *python = std::getenv("BERT_TPU_PYTHON");
+    if (!python) python = "python3";
+    char port_str[16];
+    std::snprintf(port_str, sizeof(port_str), "%d", port);
+
+    std::vector<std::string> args = {python, "-m", "bert_tpu.server",
+                                     "-m",   fname, "--port", port_str,
+                                     "--no-warmup"};
+    if (const char *extra = std::getenv("BERT_TPU_SERVER_ARGS")) {
+        std::string s(extra);
+        size_t pos = 0;
+        while (pos < s.size()) {
+            size_t sp = s.find(' ', pos);
+            if (sp == std::string::npos) sp = s.size();
+            if (sp > pos) args.push_back(s.substr(pos, sp - pos));
+            pos = sp + 1;
+        }
+    }
+    std::vector<char *> argv;
+    argv.reserve(args.size() + 1);
+    for (auto &a : args) argv.push_back(const_cast<char *>(a.c_str()));
+    argv.push_back(nullptr);
+
+    pid_t pid = ::fork();
+    if (pid < 0) return false;
+    if (pid == 0) {
+        // child: quiet stdout (progress prints), keep stderr for errors
+        FILE *devnull = std::fopen("/dev/null", "w");
+        if (devnull) ::dup2(fileno(devnull), STDOUT_FILENO);
+        ::execvp(argv[0], argv.data());
+        std::perror("bert_client: execvp");
+        ::_exit(127);
+    }
+    ctx->child = pid;
+    return true;
+}
+
+bool wait_connect_handshake(const char *host, int port, bert_ctx *ctx) {
+    double timeout = 600.0;
+    if (const char *t = std::getenv("BERT_TPU_CONNECT_TIMEOUT"))
+        timeout = std::atof(t);
+    double deadline = now_s() + timeout;
+    while (now_s() < deadline) {
+        if (ctx->child > 0) {
+            int status = 0;
+            if (::waitpid(ctx->child, &status, WNOHANG) == ctx->child) {
+                std::fprintf(stderr,
+                             "bert_client: server process exited early\n");
+                ctx->child = 0;
+                return false;
+            }
+        }
+        int fd = connect_to(host, port);
+        if (fd >= 0) {
+            int32_t n_embd = 0;
+            if (recv_all(fd, &n_embd, 4) && n_embd > 0) {
+                ctx->fd = fd;
+                if (ctx->hp.n_embd == 0) ctx->hp.n_embd = n_embd;
+                if (n_embd != ctx->hp.n_embd) {
+                    std::fprintf(stderr,
+                                 "bert_client: handshake n_embd %d != file "
+                                 "header %d\n",
+                                 n_embd, ctx->hp.n_embd);
+                }
+                return true;
+            }
+            ::close(fd);
+        }
+        struct timespec ts = {0, 200 * 1000 * 1000};
+        ::nanosleep(&ts, nullptr);
+    }
+    std::fprintf(stderr, "bert_client: timed out connecting to %s:%d\n", host,
+                 port);
+    return false;
+}
+
+bool encode_one(bert_ctx *ctx, const char *text, float *out) {
+    size_t len = std::strlen(text);
+    if (len == 0) {  // the wire has no empty-message framing
+        text = " ";
+        len = 1;
+    }
+    if (len > (1u << 15)) len = 1u << 15;  // reference read cap (server.cpp:27)
+    if (!send_all(ctx->fd, text, len)) return false;
+    return recv_all(ctx->fd, out, sizeof(float) * ctx->hp.n_embd);
+}
+
+bool eval_one(bert_ctx *ctx, const bert_vocab_id *tokens, int32_t n_tokens,
+              float *out) {
+    std::vector<char> msg(8 + 4 * static_cast<size_t>(n_tokens));
+    std::memcpy(msg.data(), kBinEvalMagic, 4);
+    std::memcpy(msg.data() + 4, &n_tokens, 4);
+    std::memcpy(msg.data() + 8, tokens, 4 * static_cast<size_t>(n_tokens));
+    if (!send_all(ctx->fd, msg.data(), msg.size())) return false;
+    return recv_all(ctx->fd, out, sizeof(float) * ctx->hp.n_embd);
+}
+
+}  // namespace
+
+extern "C" {
+
+struct bert_ctx *bert_load_from_file(const char *fname) {
+    auto *ctx = new bert_ctx;
+    const char *colon = std::strrchr(fname, ':');
+    bool remote = colon != nullptr && std::strchr(fname, '/') == nullptr;
+    if (remote) {
+        // "host:port" — connect to a running server; no local vocab, so
+        // bert_tokenize/bert_vocab_id_to_token are unavailable.
+        std::string host(fname, static_cast<size_t>(colon - fname));
+        int port = std::atoi(colon + 1);
+        ctx->hp.n_max_tokens = 512;
+        if (!wait_connect_handshake(host.c_str(), port, ctx)) {
+            delete ctx;
+            return nullptr;
+        }
+        return ctx;
+    }
+    if (!load_header_and_vocab(fname, ctx)) {
+        delete ctx;
+        return nullptr;
+    }
+    int port = pick_free_port();
+    if (port < 0 || !spawn_server(fname, port, ctx) ||
+        !wait_connect_handshake("127.0.0.1", port, ctx)) {
+        bert_free(ctx);
+        return nullptr;
+    }
+    return ctx;
+}
+
+void bert_free(struct bert_ctx *ctx) {
+    if (!ctx) return;
+    if (ctx->fd >= 0) ::close(ctx->fd);
+    if (ctx->child > 0) {
+        ::kill(ctx->child, SIGTERM);
+        int status = 0;
+        for (int i = 0; i < 50; ++i) {  // ~5 s graceful, then SIGKILL
+            if (::waitpid(ctx->child, &status, WNOHANG) == ctx->child) {
+                ctx->child = 0;
+                break;
+            }
+            struct timespec ts = {0, 100 * 1000 * 1000};
+            ::nanosleep(&ts, nullptr);
+        }
+        if (ctx->child > 0) {
+            ::kill(ctx->child, SIGKILL);
+            ::waitpid(ctx->child, &status, 0);
+        }
+    }
+    if (ctx->wp_vocab) wp_vocab_free(ctx->wp_vocab);
+    delete ctx;
+}
+
+void bert_encode(struct bert_ctx *ctx, int32_t /*n_threads*/,
+                 const char *texts, float *embeddings) {
+    if (!ctx || ctx->fd < 0) return;
+    if (!encode_one(ctx, texts, embeddings))
+        std::fprintf(stderr, "bert_client: encode failed\n");
+}
+
+void bert_encode_batch(struct bert_ctx *ctx, int32_t /*n_threads*/,
+                       int32_t /*n_batch_size*/, int32_t n_inputs,
+                       const char **texts, float **embeddings) {
+    if (!ctx || ctx->fd < 0) return;
+    // The wire protocol is strictly request/reply per connection (a
+    // reference quirk: unframed text messages). Server-side continuous
+    // batching still coalesces concurrent ctxs; within one ctx this loops.
+    for (int32_t i = 0; i < n_inputs; ++i) {
+        if (!encode_one(ctx, texts[i], embeddings[i])) {
+            std::fprintf(stderr, "bert_client: encode_batch failed at %d\n",
+                         i);
+            return;
+        }
+    }
+}
+
+void bert_tokenize(struct bert_ctx *ctx, const char *text,
+                   bert_vocab_id *tokens, int32_t *n_tokens,
+                   int32_t n_max_tokens) {
+    if (!ctx || !ctx->wp_vocab) {
+        if (n_tokens) *n_tokens = 0;
+        return;
+    }
+    if (n_max_tokens > ctx->hp.n_max_tokens)
+        n_max_tokens = ctx->hp.n_max_tokens;
+    *n_tokens = wp_tokenize(ctx->wp_vocab, text,
+                            static_cast<int64_t>(std::strlen(text)), tokens,
+                            n_max_tokens);
+}
+
+void bert_eval(struct bert_ctx *ctx, int32_t /*n_threads*/,
+               bert_vocab_id *tokens, int32_t n_tokens, float *embeddings) {
+    if (!ctx || ctx->fd < 0) return;
+    if (!eval_one(ctx, tokens, n_tokens, embeddings))
+        std::fprintf(stderr, "bert_client: eval failed\n");
+}
+
+void bert_eval_batch(struct bert_ctx *ctx, int32_t /*n_threads*/,
+                     int32_t n_batch_size, bert_vocab_id **batch_tokens,
+                     int32_t *n_tokens, float **batch_embeddings) {
+    if (!ctx || ctx->fd < 0) return;
+    for (int32_t i = 0; i < n_batch_size; ++i) {
+        if (!eval_one(ctx, batch_tokens[i], n_tokens[i],
+                      batch_embeddings[i])) {
+            std::fprintf(stderr, "bert_client: eval_batch failed at %d\n", i);
+            return;
+        }
+    }
+}
+
+int32_t bert_n_embd(struct bert_ctx *ctx) { return ctx ? ctx->hp.n_embd : 0; }
+
+int32_t bert_n_max_tokens(struct bert_ctx *ctx) {
+    return ctx ? ctx->hp.n_max_tokens : 0;
+}
+
+const char *bert_vocab_id_to_token(struct bert_ctx *ctx, bert_vocab_id id) {
+    if (!ctx || id < 0 ||
+        static_cast<size_t>(id) >= ctx->id_to_token.size())
+        return nullptr;
+    return ctx->id_to_token[static_cast<size_t>(id)].c_str();
+}
+
+bool bert_params_parse(int argc, char **argv, struct bert_params *params) {
+    for (int i = 1; i < argc; ++i) {
+        const char *arg = argv[i];
+        auto next = [&](const char *flag) -> const char * {
+            if (i + 1 >= argc) {
+                std::fprintf(stderr, "missing value for %s\n", flag);
+                return nullptr;
+            }
+            return argv[++i];
+        };
+        if (std::strcmp(arg, "-t") == 0 ||
+            std::strcmp(arg, "--threads") == 0) {
+            const char *v = next(arg);
+            if (!v) return false;
+            params->n_threads = std::atoi(v);
+        } else if (std::strcmp(arg, "-p") == 0 ||
+                   std::strcmp(arg, "--prompt") == 0) {
+            const char *v = next(arg);
+            if (!v) return false;
+            params->prompt = v;
+        } else if (std::strcmp(arg, "--port") == 0) {
+            const char *v = next(arg);
+            if (!v) return false;
+            params->port = std::atoi(v);
+        } else if (std::strcmp(arg, "-m") == 0 ||
+                   std::strcmp(arg, "--model") == 0) {
+            const char *v = next(arg);
+            if (!v) return false;
+            params->model = v;
+        } else if (std::strcmp(arg, "-h") == 0 ||
+                   std::strcmp(arg, "--help") == 0) {
+            std::fprintf(stderr,
+                         "usage: %s [-t threads] [-p prompt] [--port port] "
+                         "[-m model]\n",
+                         argc > 0 ? argv[0] : "bert");
+            std::exit(0);
+        } else {
+            std::fprintf(stderr, "unknown argument: %s\n", arg);
+            return false;
+        }
+    }
+    return true;
+}
+
+}  // extern "C"

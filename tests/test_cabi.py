@@ -1,0 +1,144 @@
+"""C-ABI drop-in library (csrc/libbert.so) end-to-end test.
+
+Loads libbert.so with ctypes — the same loadability proof as the
+reference's dlopen consumer (examples/dylib.cpp) and ctypes binding
+(examples/sample_dylib.py:19-34) — and exercises the full bert.h-compatible
+surface against a spawned CPU-backend server: load (spawn+handshake),
+tokenize (local native WordPiece), encode / encode_batch (text wire),
+eval / eval_batch (framed binary wire), introspection, free (child reaped).
+"""
+
+import ctypes
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from bert_tpu.formats import GgmlHParams, write_ggml
+from bert_tpu.params import BertConfig, random_named_tensors
+from fixture_vocab import build_fixture_tokens
+
+CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "csrc")
+LIB = os.path.join(CSRC, "libbert.so")
+
+pytestmark = pytest.mark.skipif(shutil.which("g++") is None,
+                                reason="no C++ toolchain")
+
+
+@pytest.fixture(scope="module")
+def libbert(tmp_path_factory):
+    subprocess.run(["make", "-s", "-C", CSRC, "libbert.so"], check=True)
+    lib = ctypes.CDLL(LIB)
+    lib.bert_load_from_file.restype = ctypes.c_void_p
+    lib.bert_load_from_file.argtypes = [ctypes.c_char_p]
+    lib.bert_free.argtypes = [ctypes.c_void_p]
+    lib.bert_n_embd.restype = ctypes.c_int32
+    lib.bert_n_embd.argtypes = [ctypes.c_void_p]
+    lib.bert_n_max_tokens.restype = ctypes.c_int32
+    lib.bert_n_max_tokens.argtypes = [ctypes.c_void_p]
+    lib.bert_vocab_id_to_token.restype = ctypes.c_char_p
+    lib.bert_vocab_id_to_token.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.bert_tokenize.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+    ]
+    lib.bert_encode.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.bert_encode_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+    ]
+    lib.bert_eval.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
+    ]
+    return lib
+
+
+@pytest.fixture(scope="module")
+def model_file(tmp_path_factory):
+    cfg = BertConfig(n_vocab=30522, n_max_tokens=64, n_embd=64,
+                     n_intermediate=128, n_head=4, n_layer=2)
+    hp = GgmlHParams(cfg.n_vocab, cfg.n_max_tokens, cfg.n_embd,
+                     cfg.n_intermediate, cfg.n_head, cfg.n_layer, ftype=0)
+    path = str(tmp_path_factory.mktemp("cabi") / "tiny.bin")
+    write_ggml(path, hp, build_fixture_tokens(),
+               random_named_tensors(cfg, seed=4))
+    return path
+
+
+@pytest.fixture(scope="module")
+def ctx(libbert, model_file):
+    # the spawned server must use the CPU backend and find bert_tpu
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    os.environ["BERT_TPU_PYTHON"] = sys.executable
+    os.environ["BERT_TPU_CONNECT_TIMEOUT"] = "300"
+    os.environ["PYTHONPATH"] = repo + os.pathsep + os.environ.get(
+        "PYTHONPATH", "")
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    handle = libbert.bert_load_from_file(model_file.encode())
+    assert handle, "bert_load_from_file returned NULL"
+    yield handle
+    libbert.bert_free(handle)
+
+
+def test_introspection(libbert, ctx):
+    assert libbert.bert_n_embd(ctx) == 64
+    assert libbert.bert_n_max_tokens(ctx) == 64
+    assert libbert.bert_vocab_id_to_token(ctx, 101) == b"[CLS]"
+    assert libbert.bert_vocab_id_to_token(ctx, 102) == b"[SEP]"
+    assert libbert.bert_vocab_id_to_token(ctx, -1) is None
+
+
+def test_tokenize_matches_python(libbert, ctx):
+    from bert_tpu.tokenizer import WordPieceTokenizer
+    from fixture_vocab import build_fixture_vocab
+
+    tok = WordPieceTokenizer(build_fixture_vocab())
+    buf = (ctypes.c_int32 * 64)()
+    n = ctypes.c_int32(0)
+    for text in ["Québec is nice", "I'm going to the store", "hello, world!"]:
+        libbert.bert_tokenize(ctx, text.encode(), buf, ctypes.byref(n), 64)
+        assert list(buf[: n.value]) == tok.tokenize(text, 64)
+
+
+def test_encode_unit_norm(libbert, ctx):
+    out = (ctypes.c_float * 64)()
+    libbert.bert_encode(ctx, 6, b"I'm going to the store", out)
+    v = np.ctypeslib.as_array(out)
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-2
+
+
+def test_encode_batch_matches_encode(libbert, ctx):
+    texts = [b"I'm going to the store", b"so don't go anywhere", b"hello"]
+    n = len(texts)
+    arr = np.zeros((n, 64), dtype=np.float32)
+    rows = (ctypes.POINTER(ctypes.c_float) * n)(
+        *[arr[i].ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+          for i in range(n)])
+    libbert.bert_encode_batch(
+        ctx, 6, 16, n, (ctypes.c_char_p * n)(*texts), rows)
+    single = (ctypes.c_float * 64)()
+    libbert.bert_encode(ctx, 6, texts[1], single)
+    cos = float(arr[1] @ np.ctypeslib.as_array(single))
+    assert cos > 0.9999, cos
+
+
+def test_eval_pretokenized_matches_encode(libbert, ctx):
+    """bert_eval ships exact ids over the framed binary wire extension."""
+    buf = (ctypes.c_int32 * 64)()
+    n = ctypes.c_int32(0)
+    libbert.bert_tokenize(ctx, b"I'm going to the store", buf,
+                          ctypes.byref(n), 64)
+    out_eval = (ctypes.c_float * 64)()
+    libbert.bert_eval(ctx, 6, buf, n.value, out_eval)
+    out_enc = (ctypes.c_float * 64)()
+    libbert.bert_encode(ctx, 6, b"I'm going to the store", out_enc)
+    np.testing.assert_allclose(np.ctypeslib.as_array(out_eval),
+                               np.ctypeslib.as_array(out_enc), atol=1e-5)
