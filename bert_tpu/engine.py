@@ -28,12 +28,25 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .batching import default_seq_buckets, plan_buckets
+from .batching import default_seq_buckets, pick_bucket, plan_buckets
 from .cache import enable_compilation_cache
 from .loader import LoadedModel, load_model
-from .model import bert_forward
+from .model import bert_forward, bert_forward_packed
+from .packing import PackPlan, Placement, pack_batch, plan_packing
 from .params import BertConfig
 from .tokenizer import WordPieceTokenizer
+
+
+def _round_up(n: int, m: int) -> int:
+    return (n + m - 1) // m * m
+
+
+def _size_bucket(n: int, minimum: int = 8) -> int:
+    """Round up to an eighth-of-next-power-of-two step: tight padding
+    (≤12.5 % waste) with a bounded compiled-shape set (8 sizes per octave)."""
+    n = max(n, minimum)
+    p = 1 << (n - 1).bit_length()  # next power of two ≥ n
+    return _round_up(n, max(p // 8, 1))
 
 
 class BertTPU:
@@ -48,6 +61,9 @@ class BertTPU:
         max_batch: int = 128,
         seq_buckets: Optional[Sequence[int]] = None,
         wire_dtype: Optional[str] = None,
+        packing: bool = True,
+        pack_seq: int = 64,
+        pack_segments: int = 16,
     ):
         enable_compilation_cache()
         self.config: BertConfig = loaded.config
@@ -79,18 +95,43 @@ class BertTPU:
         # one host→device transfer at init; jit calls then hit by reference
         self.params = jax.device_put(loaded.params)
 
-        def encode(params, token_ids, mask):
-            emb = bert_forward(params, token_ids, mask, config=self.config,
-                               compute_dtype=self.compute_dtype,
-                               use_pallas=self.use_pallas)
+        # Sequence packing (bert_tpu/packing.py): several short sentences per
+        # fixed-shape row with block-diagonal attention — higher token
+        # occupancy than bucketed padding on natural length mixes.
+        self._packing = packing
+        self._pack_seq = min(pack_seq, self.config.n_max_tokens)
+        self._pack_segments = pack_segments
+
+        def _wire(emb):
             if self.wire_dtype == "f16":
-                emb = emb.astype(jnp.float16)
-            elif self.wire_dtype == "int8":
-                emb = jnp.clip(jnp.round(emb * 127.0), -127, 127
-                               ).astype(jnp.int8)
+                return emb.astype(jnp.float16)
+            if self.wire_dtype == "int8":
+                return jnp.clip(jnp.round(emb * 127.0), -127, 127
+                                ).astype(jnp.int8)
             return emb
 
+        def encode(params, token_ids, mask):
+            return _wire(bert_forward(
+                params, token_ids, mask, config=self.config,
+                compute_dtype=self.compute_dtype,
+                use_pallas=self.use_pallas))
+
+        def encode_packed(params, token_ids, segment_ids, position_ids):
+            return bert_forward_packed(
+                params, token_ids, segment_ids, position_ids,
+                config=self.config, n_segments=self._pack_segments,
+                compute_dtype=self.compute_dtype,
+                use_pallas=self.use_pallas)
+
+        def gather_segments(emb3, flat_idx):
+            # [B, S, D] per-segment embeddings → wire-dtype rows for the
+            # valid slots only (compiled separately so its shape bucket
+            # doesn't force a recompile of the forward pass)
+            return _wire(emb3.reshape(-1, emb3.shape[-1])[flat_idx])
+
         self._encode_jit = jax.jit(encode)
+        self._encode_packed_jit = jax.jit(encode_packed)
+        self._gather_segments_jit = jax.jit(gather_segments)
 
     # -- constructors --------------------------------------------------------
     @classmethod
@@ -136,22 +177,59 @@ class BertTPU:
         """
         n = len(token_lists)
         out = np.empty((n, self.config.n_embd), dtype=np.float32)
-        plan = plan_buckets([len(t) for t in token_lists],
-                            self.seq_buckets, self.max_batch)
-        pending = []
-        with self.timers.phase("dispatch"):
-            for seq_b, batch_b, idxs in plan.groups:
-                ids, mask = self.tokenizer.pad_batch(
-                    [token_lists[i] for i in idxs], seq_b, batch_size=batch_b
+        lengths = [len(t) for t in token_lists]
+
+        # Routing: short sentences go through the packed path (several per
+        # row, block-diagonal attention) when there are enough of them to
+        # fill rows; everything else through length-bucketed padding.
+        pack_idx: List[int] = []
+        pack_plan = None
+        bucket_idx = list(range(n))
+        if self._packing:
+            short = [i for i in bucket_idx if lengths[i] <= self._pack_seq]
+            if len(short) >= 8:
+                # cost-based routing: pack only when the padded token count
+                # beats bucketed padding (with a small bonus for packing's
+                # single program execution + single result transfer)
+                plan = plan_packing([lengths[i] for i in short],
+                                    self._pack_seq, self._pack_segments)
+                remaining = plan.n_rows
+                packed_tokens = 0
+                while remaining > 0:
+                    chunk = min(remaining, self.max_batch)
+                    packed_tokens += _size_bucket(chunk) * self._pack_seq
+                    remaining -= chunk
+                bucketed_tokens = sum(
+                    pick_bucket(lengths[i], self.seq_buckets) for i in short
                 )
-                emb = self._encode_jit(self.params, jnp.asarray(ids),
-                                       jnp.asarray(mask))[: len(idxs)]
-                emb.copy_to_host_async()
-                self.timers.record_bucket(batch_b, seq_b)
-                pending.append((idxs, emb))
+                if packed_tokens <= 1.15 * bucketed_tokens:
+                    pack_idx = short
+                    pack_plan = plan
+                    in_pack = set(short)
+                    bucket_idx = [i for i in bucket_idx if i not in in_pack]
+
+        pending = []  # (original-index array, device rows, n_valid)
+        with self.timers.phase("dispatch"):
+            if pack_idx:
+                pending.extend(self._dispatch_packed(token_lists, pack_idx,
+                                                     pack_plan))
+            if bucket_idx:
+                plan = plan_buckets([lengths[i] for i in bucket_idx],
+                                    self.seq_buckets, self.max_batch)
+                for seq_b, batch_b, sub in plan.groups:
+                    idxs = [bucket_idx[j] for j in sub]
+                    ids, mask = self.tokenizer.pad_batch(
+                        [token_lists[i] for i in idxs], seq_b,
+                        batch_size=batch_b
+                    )
+                    emb = self._encode_jit(self.params, jnp.asarray(ids),
+                                           jnp.asarray(mask))[: len(idxs)]
+                    emb.copy_to_host_async()
+                    self.timers.record_bucket(batch_b, seq_b)
+                    pending.append((np.asarray(idxs), emb, len(idxs)))
         with self.timers.phase("gather"):
-            for idxs, emb in pending:
-                out[np.asarray(idxs)] = np.asarray(emb, dtype=np.float32)
+            for idxs, emb, n_valid in pending:
+                out[idxs] = np.asarray(emb, dtype=np.float32)[:n_valid]
         if self.wire_dtype == "int8":
             # fixed-point wire: undo the 127 scale by re-normalizing (outputs
             # are unit-norm by construction, bert.cpp:911-913 semantics)
@@ -159,6 +237,43 @@ class BertTPU:
             np.divide(out, np.maximum(norms, 1e-12), out=out)
         self.timers.sentences += n
         return out
+
+    def _dispatch_packed(self, token_lists, idxs, plan=None):
+        """Pack short sentences into fixed (rows, pack_seq) batches and
+        dispatch them; returns pending (orig-index array, device rows,
+        n_valid) entries.
+
+        The forward compiles once per _size_bucket row count; the valid-slot
+        gather runs as a separate tiny program whose padded length (multiple
+        of 256) never forces a forward recompile. Slicing off gather padding
+        happens host-side to keep the compiled-shape set small.
+        """
+        tl = [token_lists[i] for i in idxs]
+        if plan is None:
+            plan = plan_packing([len(t) for t in tl], self._pack_seq,
+                                self._pack_segments)
+        pending = []
+        row_cap = self.max_batch
+        for start in range(0, plan.n_rows, row_cap):
+            end = min(plan.n_rows, start + row_cap)
+            pls = [Placement(p.index, p.row - start, p.offset, p.length,
+                             p.slot)
+                   for p in plan.placements if start <= p.row < end]
+            sub = PackPlan(pls, end - start, plan.seq_len, plan.max_segments)
+            n_rows = min(_size_bucket(sub.n_rows), row_cap)
+            ids, seg, pos, flat = pack_batch(tl, sub, n_rows=n_rows)
+            n_sent = len(pls)
+            flat_pad = np.zeros(max(_round_up(n_sent, 256), 256), np.int32)
+            flat_pad[:n_sent] = flat
+            emb3 = self._encode_packed_jit(
+                self.params, jnp.asarray(ids), jnp.asarray(seg),
+                jnp.asarray(pos))
+            emb = self._gather_segments_jit(emb3, jnp.asarray(flat_pad))
+            emb.copy_to_host_async()
+            self.timers.record_bucket(n_rows, self._pack_seq, kind="packed")
+            orig = np.asarray([idxs[p.index] for p in pls])
+            pending.append((orig, emb, n_sent))
+        return pending
 
     def encode_batch(self, texts: Sequence[str]) -> np.ndarray:
         """Tokenize + embed a batch of sentences (bert_encode_batch)."""

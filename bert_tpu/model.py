@@ -63,15 +63,21 @@ def dense(x: jax.Array, w, b: Optional[jax.Array] = None, *,
 
 
 def embed(params_emb: Dict[str, Any], token_ids: jax.Array,
-          config: BertConfig, dtype) -> jax.Array:
+          config: BertConfig, dtype,
+          position_ids: Optional[jax.Array] = None) -> jax.Array:
     """Token + token-type(0) + position embeddings, then LayerNorm
     (bert.cpp:784-814). token_type_ids are always 0, as in the reference
-    (bert.cpp:787-788)."""
+    (bert.cpp:787-788). ``position_ids`` overrides the default 0..T-1
+    positions — packed rows restart positions at each segment."""
     t = token_ids.shape[-1]
     word = jnp.asarray(params_emb["word"])
     x = word[token_ids].astype(dtype)
     x = x + jnp.asarray(params_emb["token_type"])[0].astype(dtype)
-    x = x + jnp.asarray(params_emb["position"])[:t].astype(dtype)
+    position = jnp.asarray(params_emb["position"])
+    if position_ids is None:
+        x = x + position[:t].astype(dtype)
+    else:
+        x = x + position[position_ids].astype(dtype)
     return layer_norm(x, params_emb["ln_scale"], params_emb["ln_bias"],
                       config.layer_norm_eps)
 
@@ -128,6 +134,32 @@ def encoder_layer(
                       config.layer_norm_eps)  # residual 2, bert.cpp:885-901
 
 
+def segment_attention_bias(segment_ids: jax.Array) -> jax.Array:
+    """[B, T] segment ids (0 = padding) → [B, T, T] additive attention bias:
+    0 where query and key share a non-padding segment, NEG_INF elsewhere.
+    Makes packed rows exactly block-diagonal — tokens never attend across
+    sentence boundaries."""
+    same = segment_ids[:, :, None] == segment_ids[:, None, :]
+    key_valid = (segment_ids > 0)[:, None, :]
+    return jnp.where(same & key_valid, 0.0, NEG_INF).astype(jnp.float32)
+
+
+def segment_mean_pool_l2(x: jax.Array, segment_ids: jax.Array,
+                         n_segments: int) -> jax.Array:
+    """Per-segment masked mean pool + L2 normalize, in f32.
+
+    x [B, T, D], segment_ids [B, T] (0 = padding, 1..n_segments) →
+    [B, n_segments, D]; empty slots come out as zero vectors."""
+    xf = x.astype(jnp.float32)
+    # one_hot of -1 (padding) is all-zero, so pad tokens drop out
+    oh = jax.nn.one_hot(segment_ids - 1, n_segments, dtype=jnp.float32)
+    sums = jnp.einsum("bts,btd->bsd", oh, xf)
+    counts = jnp.sum(oh, axis=1)[..., None]
+    pooled = sums / jnp.maximum(counts, 1.0)
+    norm = jnp.sqrt(jnp.sum(jnp.square(pooled), axis=-1, keepdims=True))
+    return pooled / jnp.maximum(norm, 1e-12)
+
+
 def mean_pool_l2(x: jax.Array, mask: jax.Array) -> jax.Array:
     """Masked mean pool + L2 normalize, in f32 (bert.cpp:906-913)."""
     xf = x.astype(jnp.float32)
@@ -164,6 +196,41 @@ def bert_forward(
 
     x, _ = jax.lax.scan(body, x, params["layers"])
     return mean_pool_l2(x, mask)
+
+
+def bert_forward_packed(
+    params: Dict[str, Any],
+    token_ids: jax.Array,
+    segment_ids: jax.Array,
+    position_ids: jax.Array,
+    config: BertConfig,
+    *,
+    n_segments: int,
+    compute_dtype=jnp.float32,
+    use_pallas: Optional[bool] = None,
+    tp_axis: Optional[str] = None,
+) -> jax.Array:
+    """Packed-row forward: token_ids/segment_ids/position_ids [B, T] →
+    per-segment L2-normalized embeddings [B, n_segments, n_embd] f32.
+
+    Same encoder stack as :func:`bert_forward`; the differences are exactly
+    the three packing requirements (bert_tpu/packing.py): per-segment
+    positions, block-diagonal attention, per-segment pooling. Empty segment
+    slots return zero vectors."""
+    x = embed(params["embeddings"], token_ids, config, compute_dtype,
+              position_ids=position_ids)
+    mask_bias = segment_attention_bias(segment_ids)
+
+    step = functools.partial(
+        encoder_layer, mask_bias=mask_bias, config=config,
+        use_pallas=use_pallas, tp_axis=tp_axis,
+    )
+
+    def body(carry, lp):
+        return step(carry, lp), None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    return segment_mean_pool_l2(x, segment_ids, n_segments)
 
 
 def make_encode_fn(config: BertConfig, *, compute_dtype=jnp.float32,

@@ -29,10 +29,20 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 
 
+def _bias4(mask_bias):
+    """[B, T] key-side bias → [B, 1, 1, T]; [B, T, T] pairwise (packed
+    block-diagonal) bias → [B, 1, T, T]."""
+    if mask_bias.ndim == 2:
+        return mask_bias[:, None, None, :]
+    if mask_bias.ndim == 3:
+        return mask_bias[:, None, :, :]
+    raise ValueError(f"mask_bias rank {mask_bias.ndim} not in (2, 3)")
+
+
 def _mha_jnp(q, k, v, mask_bias, scale):
     """Reference path: [B, H, T, dh] batched einsum attention."""
     s = jnp.einsum("bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32)
-    s = s * scale + mask_bias[:, None, None, :]
+    s = s * scale + _bias4(mask_bias)
     p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
     return jnp.einsum("bhts,bhsd->bhtd", p, v, preferred_element_type=jnp.float32
                       ).astype(q.dtype)
@@ -96,10 +106,15 @@ def multi_head_attention(
     use_pallas: Optional[bool] = None,
     interpret: bool = False,
 ) -> jax.Array:
-    """Masked MHA over [B, H, T, d_head] tensors; ``mask_bias`` is [B, T]
-    additive (0 for real tokens, NEG_INF for padding)."""
+    """Masked MHA over [B, H, T, d_head] tensors; ``mask_bias`` is additive —
+    [B, T] key-side (0 for real tokens, NEG_INF for padding) or [B, T, T]
+    pairwise (packed block-diagonal rows, model.segment_attention_bias)."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if mask_bias.ndim == 3:
+        # packed rows run at short T where XLA batched attention wins
+        # anyway (see encoder_layer policy); no Pallas pairwise-bias path
+        use_pallas = False
     if not use_pallas:
         return _mha_jnp(q, k, v, mask_bias, scale)
     return _mha_pallas(q, k, v, mask_bias, scale, interpret=interpret)

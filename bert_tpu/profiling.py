@@ -45,8 +45,8 @@ class PhaseTimers:
             self.totals[name] += time.perf_counter() - t0
             self.counts[name] += 1
 
-    def record_bucket(self, batch: int, seq: int) -> None:
-        self.bucket_counts[(batch, seq)] += 1
+    def record_bucket(self, batch: int, seq: int, kind: str = "") -> None:
+        self.bucket_counts[(batch, seq, kind)] += 1
 
     def summary(self) -> Dict:
         return {
@@ -55,8 +55,10 @@ class PhaseTimers:
                 k: {"total_s": round(v, 4), "count": self.counts[k]}
                 for k, v in sorted(self.totals.items())
             },
-            "buckets": {f"{b}x{s}": c
-                        for (b, s), c in sorted(self.bucket_counts.items())},
+            "buckets": {
+                f"{b}x{s}" + (f" {kind}" if kind else ""): c
+                for (b, s, kind), c in sorted(self.bucket_counts.items())
+            },
         }
 
     def reset(self) -> None:

@@ -1,0 +1,124 @@
+"""Sequence packing correctness.
+
+The load-bearing property: packing is EXACT — a sentence embedded inside a
+packed row (sharing the row with other sentences, behind a block-diagonal
+attention mask, with restarted positions and per-segment pooling) must equal
+the same sentence embedded alone, to float tolerance. Plus planner
+invariants and the engine-level routing path.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from bert_tpu.engine import BertTPU
+from bert_tpu.loader import LoadedModel
+from bert_tpu.model import bert_forward, bert_forward_packed
+from bert_tpu.packing import pack_batch, plan_packing
+from bert_tpu.params import (
+    BertConfig,
+    params_from_named_tensors,
+    random_named_tensors,
+)
+from fixture_vocab import build_fixture_vocab
+
+CFG = BertConfig(n_vocab=512, n_max_tokens=64, n_embd=64, n_intermediate=128,
+                 n_head=4, n_layer=2)
+RNG = np.random.default_rng(7)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return params_from_named_tensors(random_named_tensors(CFG, seed=5), CFG)
+
+
+def _token_lists(n, lo=3, hi=20):
+    return [list(RNG.integers(1, CFG.n_vocab, size=int(ln)))
+            for ln in RNG.integers(lo, hi, size=n)]
+
+
+def test_planner_invariants():
+    lengths = [int(x) for x in RNG.integers(3, 30, size=50)]
+    plan = plan_packing(lengths, seq_len=32, max_segments=4)
+    assert len(plan.placements) == 50
+    # no overlaps, within capacity, segment cap respected
+    rows = {}
+    for p in plan.placements:
+        spans = rows.setdefault(p.row, [])
+        for (o, l) in spans:
+            assert p.offset >= o + l or p.offset + p.length <= o, "overlap"
+        spans.append((p.offset, p.length))
+        assert p.offset + p.length <= 32
+        assert p.slot < 4
+    assert plan.occupancy > 0.7
+
+
+def test_packed_forward_matches_unpacked(params):
+    toks = _token_lists(12)
+    plan = plan_packing([len(t) for t in toks], seq_len=32, max_segments=8)
+    ids, seg, pos, flat = pack_batch(toks, plan, n_rows=plan.n_rows)
+
+    packed = np.asarray(bert_forward_packed(
+        params, jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(pos),
+        CFG, n_segments=8))
+    packed_flat = packed.reshape(-1, CFG.n_embd)
+
+    for j, p in enumerate(plan.placements):
+        t = toks[p.index]
+        one_ids = jnp.asarray(np.asarray(t, np.int32)[None, :])
+        one_mask = jnp.ones((1, len(t)), jnp.float32)
+        solo = np.asarray(bert_forward(params, one_ids, one_mask, CFG))[0]
+        np.testing.assert_allclose(packed_flat[flat[j]], solo, atol=2e-5,
+                                   err_msg=f"sentence {p.index}")
+
+
+def test_empty_segment_slots_are_zero(params):
+    toks = _token_lists(3)
+    plan = plan_packing([len(t) for t in toks], seq_len=64, max_segments=8)
+    ids, seg, pos, flat = pack_batch(toks, plan, n_rows=2)  # row 1 all pad
+    packed = np.asarray(bert_forward_packed(
+        params, jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(pos),
+        CFG, n_segments=8))
+    used = set(int(f) for f in flat)
+    flat_out = packed.reshape(-1, CFG.n_embd)
+    for slot in range(flat_out.shape[0]):
+        if slot not in used:
+            np.testing.assert_array_equal(flat_out[slot], 0.0)
+
+
+@pytest.fixture(scope="module")
+def engine_pair():
+    vocab = build_fixture_vocab()
+    cfg = BertConfig(n_vocab=len(vocab), n_max_tokens=128, n_embd=64,
+                     n_intermediate=128, n_head=4, n_layer=2)
+    named = random_named_tensors(cfg, seed=6)
+
+    def mk(**kw):
+        loaded = LoadedModel(config=cfg,
+                             params=params_from_named_tensors(named, cfg),
+                             vocab=vocab)
+        return BertTPU(loaded, max_batch=16, wire_dtype="f32", **kw)
+
+    return mk(packing=True, pack_seq=32, pack_segments=8), mk(packing=False)
+
+
+def test_engine_packed_matches_bucketed(engine_pair):
+    packed_eng, plain_eng = engine_pair
+    texts = ["hello world", "the quick brown fox", "a b c",
+             "I'm going to the store", "so don't go anywhere",
+             "one two three four five six seven", "store store store",
+             "going going", "hello hello hello hello"] * 2
+    a = packed_eng.encode_batch(texts)
+    b = plain_eng.encode_batch(texts)
+    assert any("packed" in k for k in packed_eng.stats()["buckets"])
+    np.testing.assert_allclose(a, b, atol=5e-5)
+
+
+def test_engine_mixed_long_and_short(engine_pair):
+    packed_eng, plain_eng = engine_pair
+    long_text = " ".join(["store"] * 100)  # > pack_seq → bucketed path
+    texts = [long_text] + ["hello world"] * 10
+    a = packed_eng.encode_batch(texts)
+    b = plain_eng.encode_batch(texts)
+    np.testing.assert_allclose(a, b, atol=5e-5)
