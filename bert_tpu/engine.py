@@ -64,6 +64,8 @@ class BertTPU:
         packing: bool = True,
         pack_seq: int = 64,
         pack_segments: int = 16,
+        int8_eval: Optional[bool] = None,
+        int8_threshold: int = 8192,
     ):
         enable_compilation_cache()
         self.config: BertConfig = loaded.config
@@ -92,8 +94,23 @@ class BertTPU:
         from .profiling import PhaseTimers
 
         self.timers = PhaseTimers()
+        # W8A8 regime (ops/int8_matmul.py): batches with ≥ int8_threshold
+        # tokens run on a per-column-int8 weight tree through the int8 MXU.
+        # Measured on v5e: wins ~6-13 % on bert-base-shaped models (K of
+        # 768/3072 keeps the int8 MXU pipeline fed) and loses slightly on
+        # MiniLM (K=384) — so it is opt-in, not default (docs/PERF.md).
+        if int8_eval is None:
+            int8_eval = False
+        self._int8 = int8_eval
+        self._int8_threshold = int8_threshold
         # one host→device transfer at init; jit calls then hit by reference
         self.params = jax.device_put(loaded.params)
+        if self._int8:
+            from .params import params_to_int8
+
+            self.params_int8 = jax.device_put(params_to_int8(loaded.params))
+        else:
+            self.params_int8 = None
 
         # Sequence packing (bert_tpu/packing.py): several short sentences per
         # fixed-shape row with block-diagonal attention — higher token
@@ -222,8 +239,9 @@ class BertTPU:
                         [token_lists[i] for i in idxs], seq_b,
                         batch_size=batch_b
                     )
-                    emb = self._encode_jit(self.params, jnp.asarray(ids),
-                                           jnp.asarray(mask))[: len(idxs)]
+                    emb = self._encode_jit(
+                        self._params_for(batch_b * seq_b), jnp.asarray(ids),
+                        jnp.asarray(mask))[: len(idxs)]
                     emb.copy_to_host_async()
                     self.timers.record_bucket(batch_b, seq_b)
                     pending.append((np.asarray(idxs), emb, len(idxs)))
@@ -266,14 +284,23 @@ class BertTPU:
             flat_pad = np.zeros(max(_round_up(n_sent, 256), 256), np.int32)
             flat_pad[:n_sent] = flat
             emb3 = self._encode_packed_jit(
-                self.params, jnp.asarray(ids), jnp.asarray(seg),
-                jnp.asarray(pos))
+                self._params_for(n_rows * self._pack_seq), jnp.asarray(ids),
+                jnp.asarray(seg), jnp.asarray(pos))
             emb = self._gather_segments_jit(emb3, jnp.asarray(flat_pad))
             emb.copy_to_host_async()
             self.timers.record_bucket(n_rows, self._pack_seq, kind="packed")
             orig = np.asarray([idxs[p.index] for p in pls])
             pending.append((orig, emb, n_sent))
         return pending
+
+    def _params_for(self, n_tokens: int):
+        """Pick the weight tree for a batch: W8A8 int8 above the
+        compute-bound threshold, Q4/dense below it. The jitted encode
+        functions retrace per tree structure, so both regimes share the
+        same Python wrappers."""
+        if self.params_int8 is not None and n_tokens >= self._int8_threshold:
+            return self.params_int8
+        return self.params
 
     def encode_batch(self, texts: Sequence[str]) -> np.ndarray:
         """Tokenize + embed a batch of sentences (bert_encode_batch)."""

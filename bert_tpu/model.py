@@ -29,28 +29,36 @@ import jax
 import jax.numpy as jnp
 
 from .ops.attention import NEG_INF, multi_head_attention
+from .ops.fused_attention import fused_qkv_attention
+from .ops.int8_matmul import Int8Tensor, int8_matmul
+from .ops.layer_norm import fused_layer_norm
 from .ops.q4_matmul import q4_matmul
 from .params import BertConfig
 from .quant import QuantTensor
 
 
 def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
-               eps: float) -> jax.Array:
-    """LayerNorm over the last axis, computed in f32 (bert.cpp:806-814)."""
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-    y = (xf - mean) * jax.lax.rsqrt(var + eps)
-    return (y * scale + bias).astype(x.dtype)
+               eps: float, *, residual: Optional[jax.Array] = None,
+               use_pallas: Optional[bool] = None) -> jax.Array:
+    """LayerNorm over the last axis, f32 statistics (bert.cpp:806-814).
+    On TPU this runs as the fused Pallas kernel (ops/layer_norm.py) — one
+    read + one write instead of XLA's multiple f32 HBM passes; a residual
+    add fuses into the same pass."""
+    return fused_layer_norm(x, scale, bias, eps=eps, residual=residual,
+                            use_pallas=use_pallas)
 
 
 def dense(x: jax.Array, w, b: Optional[jax.Array] = None, *,
           use_pallas: Optional[bool] = None) -> jax.Array:
-    """``x @ W (+ b)`` where W is dense or a QuantTensor (INT4)."""
+    """``x @ W (+ b)`` where W is dense, a QuantTensor (INT4, Pallas/XLA
+    dequant paths) or an Int8Tensor (W8A8 int8-MXU path)."""
     shape = x.shape
     x2 = x.reshape(-1, shape[-1])
     if isinstance(w, QuantTensor):
         y = q4_matmul(x2, w, use_pallas=use_pallas).astype(x.dtype)
+        n = w.n
+    elif isinstance(w, Int8Tensor):
+        y = int8_matmul(x2, w).astype(x.dtype)
         n = w.n
     else:
         y = jnp.dot(x2, w.astype(x.dtype), preferred_element_type=jnp.float32
@@ -64,7 +72,8 @@ def dense(x: jax.Array, w, b: Optional[jax.Array] = None, *,
 
 def embed(params_emb: Dict[str, Any], token_ids: jax.Array,
           config: BertConfig, dtype,
-          position_ids: Optional[jax.Array] = None) -> jax.Array:
+          position_ids: Optional[jax.Array] = None,
+          use_pallas: Optional[bool] = None) -> jax.Array:
     """Token + token-type(0) + position embeddings, then LayerNorm
     (bert.cpp:784-814). token_type_ids are always 0, as in the reference
     (bert.cpp:787-788). ``position_ids`` overrides the default 0..T-1
@@ -79,7 +88,7 @@ def embed(params_emb: Dict[str, Any], token_ids: jax.Array,
     else:
         x = x + position[position_ids].astype(dtype)
     return layer_norm(x, params_emb["ln_scale"], params_emb["ln_bias"],
-                      config.layer_norm_eps)
+                      config.layer_norm_eps, use_pallas=use_pallas)
 
 
 def encoder_layer(
@@ -104,25 +113,33 @@ def encoder_layer(
     # and the local head count falls out of the shard width.
     qkv = dense(x, lp["qkv_w"], lp["qkv_b"], use_pallas=use_pallas)
     hl = qkv.shape[-1] // (3 * dh)  # local heads (h/tp under TP)
-    qkv = qkv.reshape(b, t, hl, 3, dh).transpose(0, 2, 3, 1, 4)  # [B,hl,3,T,dh]
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
     scale = 1.0 / (config.d_head ** 0.5)  # bert.cpp:848
-    # Fused-attention policy: the Pallas kernel pays off when the [T, T]
-    # probability tile would otherwise round-trip HBM; at short T, XLA's
-    # batched-matmul attention is faster than B×H tiny kernel launches
-    # (measured on v5e: 3.9 ms vs 10.6 ms per (256, 16) encode).
-    attn_pallas = use_pallas if t >= 256 else False
-    ctx = multi_head_attention(q, k, v, mask_bias, scale=scale,
-                               use_pallas=attn_pallas)
-    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, -1)
+    # Attention policy (measured on v5e, docs/PERF.md): at short T the cost
+    # is HBM relayout (head split/merge + score tensors), so the fused
+    # QKV-attention kernel that never leaves the [B, T, lanes] layout wins;
+    # at long T the per-(batch, head) flash-style kernel keeps the [T, T]
+    # tile in VMEM. The jnp einsum path is the CPU/oracle fallback.
+    fused_short = (t <= 128 and use_pallas is not False
+                   and jax.default_backend() == "tpu")
+    if fused_short:
+        ctx = fused_qkv_attention(qkv, mask_bias, n_head=hl, d_head=dh,
+                                  scale=scale)
+    else:
+        qkv = qkv.reshape(b, t, hl, 3, dh).transpose(0, 2, 3, 1, 4)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B,hl,T,dh]
+        attn_pallas = use_pallas if t >= 256 else False
+        ctx = multi_head_attention(q, k, v, mask_bias, scale=scale,
+                                   use_pallas=attn_pallas)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, -1)
 
     att_out = dense(ctx, lp["o_w"], None, use_pallas=use_pallas)
     if tp_axis is not None:
         att_out = jax.lax.psum(att_out, tp_axis)
     att_out = att_out + lp["o_b"].astype(x.dtype)
-    x = layer_norm(att_out + x, lp["ln_att_scale"], lp["ln_att_bias"],
-                   config.layer_norm_eps)  # residual 1, bert.cpp:859-875
+    x = layer_norm(att_out, lp["ln_att_scale"], lp["ln_att_bias"],
+                   config.layer_norm_eps, residual=x,
+                   use_pallas=use_pallas)  # residual 1, bert.cpp:859-875
 
     hgate = dense(x, lp["ff_i_w"], lp["ff_i_b"], use_pallas=use_pallas)
     hgate = jax.nn.gelu(hgate, approximate=config.gelu_approx)  # bert.cpp:882
@@ -130,8 +147,9 @@ def encoder_layer(
     if tp_axis is not None:
         ff_out = jax.lax.psum(ff_out, tp_axis)
     ff_out = ff_out + lp["ff_o_b"].astype(x.dtype)
-    return layer_norm(ff_out + x, lp["ln_out_scale"], lp["ln_out_bias"],
-                      config.layer_norm_eps)  # residual 2, bert.cpp:885-901
+    return layer_norm(ff_out, lp["ln_out_scale"], lp["ln_out_bias"],
+                      config.layer_norm_eps, residual=x,
+                      use_pallas=use_pallas)  # residual 2, bert.cpp:885-901
 
 
 def segment_attention_bias(segment_ids: jax.Array) -> jax.Array:
@@ -182,7 +200,8 @@ def bert_forward(
 ) -> jax.Array:
     """token_ids [B, T] int32, mask [B, T] → L2-normalized embeddings
     [B, n_embd] f32. The full SURVEY.md §3.3 graph, batched."""
-    x = embed(params["embeddings"], token_ids, config, compute_dtype)
+    x = embed(params["embeddings"], token_ids, config, compute_dtype,
+              use_pallas=use_pallas)
     # 0 for real tokens, NEG_INF for padding
     mask_bias = (mask.astype(jnp.float32) - 1.0) * (-NEG_INF)
 
@@ -218,7 +237,7 @@ def bert_forward_packed(
     positions, block-diagonal attention, per-segment pooling. Empty segment
     slots return zero vectors."""
     x = embed(params["embeddings"], token_ids, config, compute_dtype,
-              position_ids=position_ids)
+              position_ids=position_ids, use_pallas=use_pallas)
     mask_bias = segment_attention_bias(segment_ids)
 
     step = functools.partial(

@@ -220,6 +220,35 @@ def params_from_named_tensors(
     return {"embeddings": emb, "layers": layers}
 
 
+def params_to_int8(params: Dict[str, Dict[str, WeightLike]]
+                   ) -> Dict[str, Dict[str, WeightLike]]:
+    """Derive a W8A8-eval parameter tree: every matmul weight becomes a
+    per-column :class:`~bert_tpu.ops.int8_matmul.Int8Tensor` (int8-MXU
+    path for the compute-bound regime). Q4 sources are dequantized first —
+    the requantization error is ~10× below the Q4 error already present.
+    Biases, LayerNorms and embedding tables are shared with the source tree.
+    """
+    from .ops.int8_matmul import quantize_w8
+    from .quant import dequantize_tpu
+
+    layers = dict(params["layers"])
+    for key in _MATMUL_KEYS:
+        w = layers[key]
+        if isinstance(w, QuantTensor):
+            n_layer = np.asarray(w.packed).shape[0]
+            dense_stack = np.stack([
+                dequantize_tpu(QuantTensor(
+                    packed=np.asarray(w.packed)[l],
+                    scales=np.asarray(w.scales)[l],
+                    mins=None if w.mins is None else np.asarray(w.mins)[l],
+                )) for l in range(n_layer)
+            ])
+        else:
+            dense_stack = np.asarray(w, np.float32)
+        layers[key] = quantize_w8(dense_stack)
+    return {"embeddings": params["embeddings"], "layers": layers}
+
+
 def random_named_tensors(
     config: BertConfig, seed: int = 0, scale: float = 0.02
 ) -> Dict[str, np.ndarray]:

@@ -89,3 +89,69 @@ def test_mha_masked_keys_have_no_influence():
     v[:, :, 20:] = -99.0
     out2 = np.asarray(_mha_jnp(q, jnp.asarray(k), jnp.asarray(v), bias, scale))
     np.testing.assert_allclose(out1[:, :, :20], out2[:, :, :20], atol=1e-5)
+
+
+@pytest.mark.parametrize("m,d,residual", [(8, 64, False), (100, 384, True),
+                                          (1024, 384, False)])
+def test_fused_layer_norm_vs_jnp(m, d, residual):
+    from bert_tpu.ops.layer_norm import _ln_pallas, layer_norm_jnp
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((m, d)).astype(np.float32))
+    r = (jnp.asarray(rng.standard_normal((m, d)).astype(np.float32))
+         if residual else None)
+    scale = jnp.asarray(rng.standard_normal(d).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(d).astype(np.float32))
+    ref = np.asarray(layer_norm_jnp(x, scale, bias, 1e-12, r))
+    out = np.asarray(_ln_pallas(x, scale, bias, 1e-12, r, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_fused_layer_norm_bf16_io():
+    from bert_tpu.ops.layer_norm import _ln_pallas, layer_norm_jnp
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((64, 128)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    scale = jnp.asarray(rng.standard_normal(128).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(128).astype(np.float32))
+    ref = np.asarray(layer_norm_jnp(x, scale, bias, 1e-12).astype(jnp.float32))
+    out = np.asarray(_ln_pallas(x, scale, bias, 1e-12, None,
+                                interpret=True).astype(jnp.float32))
+    np.testing.assert_allclose(out, ref, atol=2e-2)
+
+
+@pytest.mark.parametrize("b,t,h,dh,pairwise,group", [
+    (4, 16, 4, 32, False, 2),
+    (3, 16, 4, 32, False, 2),   # b not a multiple of group → padded
+    (2, 32, 2, 16, True, 1),
+    (5, 8, 3, 8, True, 2),
+])
+def test_fused_qkv_attention_vs_jnp(b, t, h, dh, pairwise, group):
+    from bert_tpu.ops.attention import _mha_jnp
+    from bert_tpu.ops.fused_attention import fused_qkv_attention
+
+    rng = np.random.default_rng(0)
+    d = h * dh
+    qkv = jnp.asarray(rng.standard_normal((b, t, 3 * d)).astype(np.float32))
+    if pairwise:
+        # block mask: forbid attention between first and second half
+        halves = (np.arange(t) >= t // 2).astype(np.int32)
+        same = halves[:, None] == halves[None, :]
+        bias = jnp.asarray(np.where(same, 0.0, -1e9).astype(np.float32)
+                           [None].repeat(b, 0))
+    else:
+        mask = (rng.random((b, t)) > 0.2).astype(np.float32)
+        mask[:, 0] = 1.0
+        bias = jnp.asarray((mask - 1.0) * 1e9)
+
+    out = np.asarray(fused_qkv_attention(
+        qkv, bias, n_head=h, d_head=dh, scale=0.3, group=group,
+        interpret=True))
+
+    # oracle: split heads the slow way, einsum attention
+    q5 = np.asarray(qkv).reshape(b, t, h, 3, dh).transpose(0, 2, 3, 1, 4)
+    q, k, v = (jnp.asarray(q5[:, :, i]) for i in range(3))
+    ref = np.asarray(_mha_jnp(q, k, v, bias, 0.3))  # [B, H, T, dh]
+    ref = ref.transpose(0, 2, 1, 3).reshape(b, t, d)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
