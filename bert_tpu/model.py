@@ -36,6 +36,12 @@ from .ops.q4_matmul import q4_matmul
 from .params import BertConfig
 from .quant import QuantTensor
 
+# Longest T the fused QKV-attention kernel owns. Measured on v5e it beats
+# the per-(batch, head) kernel at every encoder length ((64,256): 6.3 vs
+# 14.0 ms; (16,512): 3.0 vs 4.9 ms — docs/PERF.md), so it covers the whole
+# BERT range; the per-(b,h) kernel remains for hypothetical longer inputs.
+FUSED_ATTN_MAX_T = 512
+
 
 def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
                eps: float, *, residual: Optional[jax.Array] = None,
@@ -120,7 +126,7 @@ def encoder_layer(
     # QKV-attention kernel that never leaves the [B, T, lanes] layout wins;
     # at long T the per-(batch, head) flash-style kernel keeps the [T, T]
     # tile in VMEM. The jnp einsum path is the CPU/oracle fallback.
-    fused_short = (t <= 128 and use_pallas is not False
+    fused_short = (t <= FUSED_ATTN_MAX_T and use_pallas is not False
                    and jax.default_backend() == "tpu")
     if fused_short:
         ctx = fused_qkv_attention(qkv, mask_bias, n_head=hl, d_head=dh,
