@@ -42,10 +42,14 @@ def _round_up(n: int, m: int) -> int:
 
 
 def _size_bucket(n: int, minimum: int = 8) -> int:
-    """Round up to an eighth-of-next-power-of-two step: tight padding
-    (≤12.5 % waste) with a bounded compiled-shape set (8 sizes per octave)."""
+    """Shape-bucket a row count: plain powers of two up to 64 (few shapes —
+    online serving sees small, varied batches and a recompile costs far
+    more than a few padded rows), eighth-of-pow2 steps above (≤12.5 %
+    padding where absolute waste matters, 8 sizes per octave)."""
     n = max(n, minimum)
     p = 1 << (n - 1).bit_length()  # next power of two ≥ n
+    if n <= 64:
+        return p
     return _round_up(n, max(p // 8, 1))
 
 
@@ -320,7 +324,9 @@ class BertTPU:
 
     # -- warmup --------------------------------------------------------------
     def warmup(self, batch_sizes: Optional[Sequence[int]] = None) -> None:
-        """Pre-compile the bucket grid to avoid first-request latency."""
+        """Pre-compile the bucket grid to avoid first-request latency:
+        the bucketed (B, T) shapes plus the packed-path row counts an
+        online workload hits (powers of two up to max_batch rows)."""
         if batch_sizes is None:
             batch_sizes = [1, self.max_batch]
         for t in self.seq_buckets:
@@ -329,3 +335,21 @@ class BertTPU:
                 mask = np.ones((b, t), dtype=np.float32)
                 self._encode_jit(self.params, jnp.asarray(ids),
                                  jnp.asarray(mask)).block_until_ready()
+        if self._packing:
+            rows = 8
+            row_counts = []
+            while rows < self.max_batch:
+                row_counts.append(rows)
+                rows *= 2
+            row_counts.append(self.max_batch)
+            t = self._pack_seq
+            for r in row_counts:
+                ids = np.zeros((r, t), dtype=np.int32)
+                seg = np.zeros((r, t), dtype=np.int32)
+                pos = np.zeros((r, t), dtype=np.int32)
+                emb3 = self._encode_packed_jit(
+                    self.params, jnp.asarray(ids), jnp.asarray(seg),
+                    jnp.asarray(pos))
+                flat = np.zeros(256, np.int32)
+                self._gather_segments_jit(
+                    emb3, jnp.asarray(flat)).block_until_ready()
