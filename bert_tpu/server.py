@@ -46,10 +46,16 @@ class BatchingScheduler:
     """Collects (text, future) requests and evaluates them in micro-batches."""
 
     def __init__(self, model, *, max_batch: int = 64,
-                 batch_window_ms: float = 2.0):
+                 batch_window_ms: float = 2.0, pipeline_depth: int = 1):
         self.model = model
         self.max_batch = max_batch
         self.batch_window = batch_window_ms / 1000.0
+        # micro-batches allowed in flight concurrently. >1 lets batch
+        # N+1's tokenize/pack/dispatch overlap batch N's device compute —
+        # useful on compute-bound production hosts; measured NEUTRAL-to-
+        # NEGATIVE on tunnel-attached dev boxes (concurrent result
+        # transfers contend on the link), hence default 1.
+        self.pipeline_depth = max(1, pipeline_depth)
         self.queue: asyncio.Queue = asyncio.Queue()
         self._task: Optional[asyncio.Task] = None
         self.n_served = 0
@@ -104,27 +110,35 @@ class BatchingScheduler:
                 toks[i] = t
         return self.model.eval_tokens(toks)
 
-    async def _run(self) -> None:
+    async def _eval_one_batch(self, batch, sem: asyncio.Semaphore) -> None:
         loop = asyncio.get_running_loop()
-        while True:
-            batch = await self._collect()
-            payloads = [t for t, _ in batch]
-            try:
-                # evaluation blocks on device results → thread executor,
-                # so the event loop keeps accepting/collecting meanwhile
-                embs = await loop.run_in_executor(
-                    None, self._eval_mixed, payloads
-                )
-                for (_, fut), emb in zip(batch, embs):
-                    if not fut.done():
-                        fut.set_result(emb)
-            except Exception as exc:  # pragma: no cover - defensive
-                logger.exception("batch evaluation failed")
-                for _, fut in batch:
-                    if not fut.done():
-                        fut.set_exception(exc)
+        payloads = [t for t, _ in batch]
+        try:
+            # evaluation blocks on device results → thread executor,
+            # so the event loop keeps accepting/collecting meanwhile
+            embs = await loop.run_in_executor(
+                None, self._eval_mixed, payloads
+            )
+            for (_, fut), emb in zip(batch, embs):
+                if not fut.done():
+                    fut.set_result(emb)
+        except Exception as exc:  # pragma: no cover - defensive
+            logger.exception("batch evaluation failed")
+            for _, fut in batch:
+                if not fut.done():
+                    fut.set_exception(exc)
+        finally:
             self.n_served += len(batch)
             self.n_batches += 1
+            sem.release()
+
+    async def _run(self) -> None:
+        loop = asyncio.get_running_loop()
+        sem = asyncio.Semaphore(self.pipeline_depth)
+        while True:
+            batch = await self._collect()
+            await sem.acquire()
+            loop.create_task(self._eval_one_batch(batch, sem))
 
 
 class EmbeddingServer:
