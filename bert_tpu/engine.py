@@ -32,13 +32,10 @@ from .batching import default_seq_buckets, pick_bucket, plan_buckets
 from .cache import enable_compilation_cache
 from .loader import LoadedModel, load_model
 from .model import bert_forward, bert_forward_packed
+from .ops.common import round_up as _round_up
 from .packing import PackPlan, Placement, pack_batch, plan_packing
 from .params import BertConfig
 from .tokenizer import WordPieceTokenizer
-
-
-def _round_up(n: int, m: int) -> int:
-    return (n + m - 1) // m * m
 
 
 def _size_bucket(n: int, minimum: int = 8) -> int:
@@ -325,31 +322,30 @@ class BertTPU:
     # -- warmup --------------------------------------------------------------
     def warmup(self, batch_sizes: Optional[Sequence[int]] = None) -> None:
         """Pre-compile the bucket grid to avoid first-request latency:
-        the bucketed (B, T) shapes plus the packed-path row counts an
-        online workload hits (powers of two up to max_batch rows)."""
+        every bucketed (B, T) shape plus every packed-path row bucket
+        reachable below max_batch — against the weight tree(s) the
+        threshold routing will actually pick (incl. the int8 tree)."""
         if batch_sizes is None:
             batch_sizes = [1, self.max_batch]
         for t in self.seq_buckets:
             for b in batch_sizes:
                 ids = np.zeros((b, t), dtype=np.int32)
                 mask = np.ones((b, t), dtype=np.float32)
-                self._encode_jit(self.params, jnp.asarray(ids),
+                self._encode_jit(self._params_for(b * t), jnp.asarray(ids),
                                  jnp.asarray(mask)).block_until_ready()
         if self._packing:
-            rows = 8
-            row_counts = []
-            while rows < self.max_batch:
-                row_counts.append(rows)
-                rows *= 2
-            row_counts.append(self.max_batch)
+            row_counts = sorted({
+                min(_size_bucket(r), self.max_batch)
+                for r in range(1, self.max_batch + 1)
+            })
             t = self._pack_seq
             for r in row_counts:
                 ids = np.zeros((r, t), dtype=np.int32)
                 seg = np.zeros((r, t), dtype=np.int32)
                 pos = np.zeros((r, t), dtype=np.int32)
                 emb3 = self._encode_packed_jit(
-                    self.params, jnp.asarray(ids), jnp.asarray(seg),
-                    jnp.asarray(pos))
+                    self._params_for(r * t), jnp.asarray(ids),
+                    jnp.asarray(seg), jnp.asarray(pos))
                 flat = np.zeros(256, np.int32)
                 self._gather_segments_jit(
                     emb3, jnp.asarray(flat)).block_until_ready()

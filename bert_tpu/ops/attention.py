@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG_INF = -1e9
+from .common import NEG_INF  # noqa: F401  (re-exported; model.py imports it)
 
 
 def _bias4(mask_bias):

@@ -37,11 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG_INF = -1e9
-
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from .common import NEG_INF, round_up as _round_up
 
 
 def _fused_attn_kernel(qkv_ref, bias_ref, o_ref, *, n_head, d_head, seq,

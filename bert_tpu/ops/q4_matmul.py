@@ -29,10 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..quant import QK, QuantTensor
-
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from .common import round_up as _round_up
 
 
 # ---------------------------------------------------------------------------

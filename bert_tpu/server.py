@@ -58,6 +58,10 @@ class BatchingScheduler:
         self.pipeline_depth = max(1, pipeline_depth)
         self.queue: asyncio.Queue = asyncio.Queue()
         self._task: Optional[asyncio.Task] = None
+        # strong refs to in-flight eval tasks: the event loop only keeps
+        # weak references, so an unreferenced task can be GC'd mid-flight
+        # (hanging its clients and leaking the semaphore slot)
+        self._inflight: set = set()
         self.n_served = 0
         self.n_batches = 0
 
@@ -76,10 +80,12 @@ class BatchingScheduler:
         self._task = asyncio.get_running_loop().create_task(self._run())
 
     async def stop(self) -> None:
-        if self._task is not None:
-            self._task.cancel()
+        for task in (self._task, *tuple(self._inflight)):
+            if task is None:
+                continue
+            task.cancel()
             try:
-                await self._task
+                await task
             except asyncio.CancelledError:
                 pass
 
@@ -138,17 +144,21 @@ class BatchingScheduler:
         while True:
             batch = await self._collect()
             await sem.acquire()
-            loop.create_task(self._eval_one_batch(batch, sem))
+            task = loop.create_task(self._eval_one_batch(batch, sem))
+            self._inflight.add(task)
+            task.add_done_callback(self._inflight.discard)
 
 
 class EmbeddingServer:
     def __init__(self, model, host: str = "0.0.0.0", port: int = 8085,
-                 *, max_batch: int = 64, batch_window_ms: float = 2.0):
+                 *, max_batch: int = 64, batch_window_ms: float = 2.0,
+                 pipeline_depth: int = 1):
         self.model = model
         self.host = host
         self.port = port
         self.scheduler = BatchingScheduler(
-            model, max_batch=max_batch, batch_window_ms=batch_window_ms
+            model, max_batch=max_batch, batch_window_ms=batch_window_ms,
+            pipeline_depth=pipeline_depth,
         )
         self._server: Optional[asyncio.AbstractServer] = None
 
@@ -164,16 +174,29 @@ class EmbeddingServer:
                 data = await reader.read(MAX_MSG)
                 if not data:
                     break
+                # A leading 0xB5 byte can only be the framed-eval magic
+                # (it is not a valid UTF-8 lead byte), so finish reading
+                # the 4-byte magic if it straddled the first TCP segment.
+                while data[0] == BIN_EVAL_MAGIC[0] and len(data) < 4:
+                    more = await reader.read(4 - len(data))
+                    if not more:
+                        return
+                    data += more
                 if data.startswith(BIN_EVAL_MAGIC):
                     # framed pre-tokenized eval (exact lengths, so finish
-                    # reading if the ids straddled the first read)
+                    # reading if the header/ids straddled the first read)
                     while len(data) < 8:
                         more = await reader.read(8 - len(data))
                         if not more:
                             return
                         data += more
                     (n_tok,) = struct.unpack_from("<i", data, 4)
-                    need = 8 + 4 * max(n_tok, 0)
+                    if not 0 <= n_tok <= self.model.n_max_tokens:
+                        logger.warning("rejecting framed eval with n_tokens"
+                                       "=%d (max %d)", n_tok,
+                                       self.model.n_max_tokens)
+                        return  # close: the stream can't be resynchronized
+                    need = 8 + 4 * n_tok
                     while len(data) < need:
                         more = await reader.read(need - len(data))
                         if not more:
@@ -225,6 +248,9 @@ def main(argv=None) -> None:
                     help="micro-batch cap per TPU step")
     ap.add_argument("--batch-window-ms", type=float, default=2.0,
                     help="how long to wait for more requests before running")
+    ap.add_argument("--pipeline-depth", type=int, default=1,
+                    help="micro-batches allowed in flight concurrently "
+                    "(>1 overlaps batches on compute-bound hosts)")
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip pre-compiling bucket shapes at startup")
     args = ap.parse_args(argv)
@@ -240,7 +266,8 @@ def main(argv=None) -> None:
 
     server = EmbeddingServer(model, host=args.host, port=args.port,
                              max_batch=args.max_batch,
-                             batch_window_ms=args.batch_window_ms)
+                             batch_window_ms=args.batch_window_ms,
+                             pipeline_depth=args.pipeline_depth)
     try:
         asyncio.run(server.serve())
     except KeyboardInterrupt:

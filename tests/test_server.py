@@ -111,3 +111,58 @@ def test_multiple_sequential_clients(model):
     (na, outs_a), (nb, outs_b) = _run_with_server(model, scenario)
     assert na == nb == CFG.n_embd
     assert outs_a and outs_b
+
+
+def test_framed_eval_and_magic_straddle(model):
+    """Framed token-eval messages work even when the magic bytes straddle
+    TCP segments, and oversized n_tokens is rejected by closing."""
+    from bert_tpu.server import BIN_EVAL_MAGIC
+
+    ids = model.tokenize("the store")
+
+    async def scenario(server, port):
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        (n_embd,) = struct.unpack("<i", await reader.readexactly(4))
+        # text baseline
+        writer.write(b"the store")
+        await writer.drain()
+        ref = np.frombuffer(await reader.readexactly(n_embd * 4), "<f4").copy()
+        # framed eval, magic split across two writes
+        msg = (BIN_EVAL_MAGIC + struct.pack("<i", len(ids))
+               + np.asarray(ids, "<i4").tobytes())
+        writer.write(msg[:2])
+        await writer.drain()
+        await asyncio.sleep(0.05)
+        writer.write(msg[2:])
+        await writer.drain()
+        out = np.frombuffer(await reader.readexactly(n_embd * 4), "<f4").copy()
+        writer.close()
+        await writer.wait_closed()
+
+        # oversized n_tokens → server closes the connection
+        reader2, writer2 = await asyncio.open_connection("127.0.0.1", port)
+        await reader2.readexactly(4)
+        writer2.write(BIN_EVAL_MAGIC + struct.pack("<i", 1 << 30))
+        await writer2.drain()
+        got = await reader2.read(16)
+        writer2.close()
+        await writer2.wait_closed()
+        return ref, out, got
+
+    ref, out, got = _run_with_server(model, scenario)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+    assert got == b"", "oversized framed eval must close the connection"
+
+
+def test_pipeline_depth_two(model):
+    """pipeline_depth > 1 serves correct results (overlapping batches)."""
+    texts = ["the store", "don't go", "going to", "anywhere"] * 4
+
+    async def scenario(server, port):
+        return await _client_roundtrip(port, texts)
+
+    n_embd, outs = _run_with_server(model, scenario, pipeline_depth=2,
+                                    batch_window_ms=1.0)
+    base = model.encode_batch(texts)
+    for o, b in zip(outs, base):
+        np.testing.assert_allclose(o, b, atol=1e-5)
