@@ -122,3 +122,18 @@ def test_engine_mixed_long_and_short(engine_pair):
     a = packed_eng.encode_batch(texts)
     b = plain_eng.encode_batch(texts)
     np.testing.assert_allclose(a, b, atol=5e-5)
+
+
+def test_engine_packed_fuzz(engine_pair):
+    """Randomized lengths: packed engine output must match the plain
+    engine across many length mixes (exactness is the packing contract)."""
+    packed_eng, plain_eng = engine_pair
+    words = ["store", "going", "hello", "world", "don't", "the", "fox"]
+    rng = np.random.default_rng(123)
+    for trial in range(3):
+        lens = rng.integers(1, 25, size=int(rng.integers(9, 40)))
+        texts = [" ".join(rng.choice(words, size=int(n))) for n in lens]
+        a = packed_eng.encode_batch(texts)
+        b = plain_eng.encode_batch(texts)
+        np.testing.assert_allclose(a, b, atol=5e-5,
+                                   err_msg=f"trial {trial}")
