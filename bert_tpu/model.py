@@ -203,9 +203,15 @@ def bert_forward(
     compute_dtype=jnp.float32,
     use_pallas: Optional[bool] = None,
     tp_axis: Optional[str] = None,
+    remat: bool = False,
 ) -> jax.Array:
     """token_ids [B, T] int32, mask [B, T] → L2-normalized embeddings
-    [B, n_embd] f32. The full SURVEY.md §3.3 graph, batched."""
+    [B, n_embd] f32. The full SURVEY.md §3.3 graph, batched.
+
+    ``remat=True`` checkpoints each scanned layer (training-time
+    rematerialization: activations are recomputed in the backward pass
+    instead of stored — O(1) residency in depth, the standard JAX trade of
+    FLOPs for HBM)."""
     x = embed(params["embeddings"], token_ids, config, compute_dtype,
               use_pallas=use_pallas)
     # 0 for real tokens, NEG_INF for padding
@@ -219,6 +225,8 @@ def bert_forward(
     def body(carry, lp):
         return step(carry, lp), None
 
+    if remat:
+        body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, params["layers"])
     return mean_pool_l2(x, mask)
 

@@ -67,19 +67,24 @@ def make_train_step(
     temperature: float = 0.05,
     compute_dtype=jnp.float32,
     use_pallas: Optional[bool] = False,
+    remat: bool = True,
 ):
     """Pure (state, batch) → (state, metrics) step, jit/GSPMD-ready.
 
     batch = {ids_a, mask_a, ids_b, mask_b}: positive sentence pairs.
+    Per-layer rematerialization is on by default (jax.checkpoint on the
+    scanned encoder layer): backward-pass activation residency becomes
+    O(1) in depth, which is what lets large batch × long sequence training
+    fit HBM — the classic FLOPs-for-memory trade.
     """
 
     def loss_fn(params, batch):
         emb_a = bert_forward(params, batch["ids_a"], batch["mask_a"], config,
                              compute_dtype=compute_dtype,
-                             use_pallas=use_pallas)
+                             use_pallas=use_pallas, remat=remat)
         emb_b = bert_forward(params, batch["ids_b"], batch["mask_b"], config,
                              compute_dtype=compute_dtype,
-                             use_pallas=use_pallas)
+                             use_pallas=use_pallas, remat=remat)
         return info_nce_loss(emb_a, emb_b, temperature)
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array]

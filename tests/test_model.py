@@ -156,3 +156,19 @@ def test_mean_pool_l2_masked():
     ref0 = xm[0, :2].mean(0)
     ref0 /= np.linalg.norm(ref0)
     np.testing.assert_allclose(out[0], ref0, atol=1e-6)
+
+
+def test_remat_gradients_match(params):
+    """jax.checkpoint on the scanned layer must not change gradients."""
+    ids, mask = _random_batch(CFG, b=2)
+    di, dm = jnp.asarray(ids), jnp.asarray(mask)
+
+    def loss(p, remat):
+        emb = bert_forward(p, di, dm, CFG, remat=remat)
+        return jnp.sum(emb * emb[::-1])
+
+    g_plain = jax.grad(lambda p: loss(p, False))(params)
+    g_remat = jax.grad(lambda p: loss(p, True))(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-5),
+        g_plain, g_remat)
