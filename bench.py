@@ -85,8 +85,9 @@ def main() -> None:
     log(f"warmup (compile) {time.time() - t0:.1f}s")
 
     # measured run: full corpus, end-to-end incl. tokenization
+    # (best of 5: the tunnel link's throughput fluctuates run-to-run)
     best = 0.0
-    for trial in range(3):
+    for trial in range(5):
         t0 = time.time()
         emb = model.encode_batch(sentences)
         dt = time.time() - t0

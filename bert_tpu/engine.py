@@ -99,9 +99,11 @@ class BertTPU:
         # tokens run on a per-column-int8 weight tree through the int8 MXU.
         # Measured on v5e: wins ~6-13 % on bert-base-shaped models (K of
         # 768/3072 keeps the int8 MXU pipeline fed) and loses slightly on
-        # MiniLM (K=384) — so it is opt-in, not default (docs/PERF.md).
+        # MiniLM (K=384) — so the auto default enables it only for D ≥ 768
+        # models on TPU (docs/PERF.md); pass int8_eval explicitly to force.
         if int8_eval is None:
-            int8_eval = False
+            int8_eval = (jax.default_backend() == "tpu"
+                         and self.config.n_embd >= 768)
         self._int8 = int8_eval
         self._int8_threshold = int8_threshold
         # one host→device transfer at init; jit calls then hit by reference
