@@ -99,11 +99,13 @@ class BertTPU:
         # tokens run on a per-column-int8 weight tree through the int8 MXU.
         # Measured on v5e: wins ~6-13 % on bert-base-shaped models (K of
         # 768/3072 keeps the int8 MXU pipeline fed) and loses slightly on
-        # MiniLM (K=384) — so the auto default enables it only for D ≥ 768
-        # models on TPU (docs/PERF.md); pass int8_eval explicitly to force.
+        # MiniLM (K=384). OPT-IN, never auto: with a nonzero threshold the
+        # same sentence embeds slightly differently depending on batch size
+        # (cos > 0.999, but index-vs-query consistency matters for
+        # retrieval). Enable for bulk throughput, or set int8_threshold=0
+        # for batch-size-consistent int8 everywhere.
         if int8_eval is None:
-            int8_eval = (jax.default_backend() == "tpu"
-                         and self.config.n_embd >= 768)
+            int8_eval = False
         self._int8 = int8_eval
         self._int8_threshold = int8_threshold
         # one host→device transfer at init; jit calls then hit by reference
@@ -322,13 +324,19 @@ class BertTPU:
         return self.encode_batch([text])[0]
 
     # -- warmup --------------------------------------------------------------
-    def warmup(self, batch_sizes: Optional[Sequence[int]] = None) -> None:
-        """Pre-compile the bucket grid to avoid first-request latency:
-        every bucketed (B, T) shape plus every packed-path row bucket
-        reachable below max_batch — against the weight tree(s) the
-        threshold routing will actually pick (incl. the int8 tree)."""
+    def warmup(self, batch_sizes: Optional[Sequence[int]] = None,
+               max_rows: Optional[int] = None) -> None:
+        """Pre-compile shapes to avoid first-request latency.
+
+        Warms the bucketed (B, T) grid for the given ``batch_sizes``
+        (default: 1, 8 and max_batch — NOT every reachable power-of-two
+        batch bucket; with packing on, short sentences route packed, so
+        the bucketed path mostly sees small long-sentence batches) plus
+        every packed-path row bucket up to ``max_rows`` (default
+        max_batch; pass the serving-side batch cap if it is smaller) —
+        each against the weight tree the threshold routing will pick."""
         if batch_sizes is None:
-            batch_sizes = [1, self.max_batch]
+            batch_sizes = sorted({1, min(8, self.max_batch), self.max_batch})
         for t in self.seq_buckets:
             for b in batch_sizes:
                 ids = np.zeros((b, t), dtype=np.int32)
@@ -336,9 +344,9 @@ class BertTPU:
                 self._encode_jit(self._params_for(b * t), jnp.asarray(ids),
                                  jnp.asarray(mask)).block_until_ready()
         if self._packing:
+            cap = min(max_rows or self.max_batch, self.max_batch)
             row_counts = sorted({
-                min(_size_bucket(r), self.max_batch)
-                for r in range(1, self.max_batch + 1)
+                min(_size_bucket(r), cap) for r in range(1, cap + 1)
             })
             t = self._pack_seq
             for r in row_counts:

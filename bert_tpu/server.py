@@ -128,6 +128,13 @@ class BatchingScheduler:
             for (_, fut), emb in zip(batch, embs):
                 if not fut.done():
                     fut.set_result(emb)
+        except asyncio.CancelledError:
+            # server shutdown mid-eval: fail the batch's clients instead of
+            # stranding their futures forever
+            for _, fut in batch:
+                if not fut.done():
+                    fut.set_exception(ConnectionError("server shutting down"))
+            raise
         except Exception as exc:  # pragma: no cover - defensive
             logger.exception("batch evaluation failed")
             for _, fut in batch:
@@ -174,11 +181,18 @@ class EmbeddingServer:
                 data = await reader.read(MAX_MSG)
                 if not data:
                     break
-                # A leading 0xB5 byte can only be the framed-eval magic
-                # (it is not a valid UTF-8 lead byte), so finish reading
-                # the 4-byte magic if it straddled the first TCP segment.
+                # A leading 0xB5 byte is the framed-eval magic (not a valid
+                # UTF-8 lead byte), so finish reading the 4-byte magic if it
+                # straddled the first TCP segment — but only wait briefly:
+                # a short non-UTF-8 text message starting 0xB5 from a legacy
+                # client must still get a (replacement-char) reply rather
+                # than deadlock the connection.
                 while data[0] == BIN_EVAL_MAGIC[0] and len(data) < 4:
-                    more = await reader.read(4 - len(data))
+                    try:
+                        more = await asyncio.wait_for(
+                            reader.read(4 - len(data)), timeout=1.0)
+                    except asyncio.TimeoutError:
+                        break
                     if not more:
                         return
                     data += more
@@ -261,7 +275,9 @@ def main(argv=None) -> None:
     if not args.no_warmup:
         t0 = time.time()
         print("warming up bucket shapes ...", flush=True)
-        model.warmup(batch_sizes=[1, args.max_batch])
+        # rows never exceed the scheduler's per-batch sentence cap
+        model.warmup(batch_sizes=[1, 8, args.max_batch],
+                     max_rows=args.max_batch)
         print(f"warmup done in {time.time() - t0:.1f}s", flush=True)
 
     server = EmbeddingServer(model, host=args.host, port=args.port,

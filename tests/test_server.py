@@ -155,14 +155,21 @@ def test_framed_eval_and_magic_straddle(model):
 
 
 def test_pipeline_depth_two(model):
-    """pipeline_depth > 1 serves correct results (overlapping batches)."""
-    texts = ["the store", "don't go", "going to", "anywhere"] * 4
+    """pipeline_depth > 1 with genuinely overlapping batches: several
+    concurrent clients each stream requests, so multiple micro-batches
+    are in flight at once; every reply must match its request."""
+    per_client = [["the store", "don't go"], ["going to", "anywhere"],
+                  ["hello", "the store don't"], ["go going", "store store"]]
 
     async def scenario(server, port):
-        return await _client_roundtrip(port, texts)
+        outs = await asyncio.gather(*[
+            _client_roundtrip(port, texts) for texts in per_client
+        ])
+        return outs
 
-    n_embd, outs = _run_with_server(model, scenario, pipeline_depth=2,
-                                    batch_window_ms=1.0)
-    base = model.encode_batch(texts)
-    for o, b in zip(outs, base):
-        np.testing.assert_allclose(o, b, atol=1e-5)
+    results = _run_with_server(model, scenario, pipeline_depth=2,
+                               max_batch=2, batch_window_ms=1.0)
+    for texts, (_, outs) in zip(per_client, results):
+        base = model.encode_batch(texts)
+        for o, b in zip(outs, base):
+            np.testing.assert_allclose(o, b, atol=1e-5)
