@@ -73,3 +73,12 @@ def test_wire_dtype_preserves_cosine_ranking(wire):
     err = np.abs(sims_exact - sims_wired).max()
     budget = 5e-4 if wire == "f16" else 2e-2
     assert err < budget, f"max cosine perturbation {err}"
+
+
+def test_encode_batch_empty_and_degenerate():
+    m = _model("f32")
+    out = m.encode_batch([])
+    assert out.shape == (0, 64)
+    # only-unknown characters → just [CLS][SEP]; must embed without error
+    out2 = m.encode_batch(["ÿþ", "hello"])
+    assert out2.shape == (2, 64) and np.all(np.isfinite(out2))
