@@ -202,33 +202,43 @@ class BertTPU:
         lengths = [len(t) for t in token_lists]
 
         # Routing: short sentences go through the packed path (several per
-        # row, block-diagonal attention) when there are enough of them to
-        # fill rows; everything else through length-bucketed padding.
+        # row, block-diagonal attention); everything else through
+        # length-bucketed padding. Small batches (the online-serving range)
+        # ALWAYS pack: the packed shape set is tiny, power-of-two and
+        # pre-warmed, while bucketed (B, T) shapes at arbitrary small B
+        # risk a multi-second first-request compile to save microseconds of
+        # padding compute. Large batches use cost-based routing.
         pack_idx: List[int] = []
         pack_plan = None
         bucket_idx = list(range(n))
         if self._packing:
             short = [i for i in bucket_idx if lengths[i] <= self._pack_seq]
-            if len(short) >= 8:
-                # cost-based routing: pack only when the padded token count
-                # beats bucketed padding (with a small bonus for packing's
-                # single program execution + single result transfer)
+            use_packed = False
+            if short:
                 plan = plan_packing([lengths[i] for i in short],
                                     self._pack_seq, self._pack_segments)
-                remaining = plan.n_rows
-                packed_tokens = 0
-                while remaining > 0:
-                    chunk = min(remaining, self.max_batch)
-                    packed_tokens += _size_bucket(chunk) * self._pack_seq
-                    remaining -= chunk
-                bucketed_tokens = sum(
-                    pick_bucket(lengths[i], self.seq_buckets) for i in short
-                )
-                if packed_tokens <= 1.15 * bucketed_tokens:
-                    pack_idx = short
-                    pack_plan = plan
-                    in_pack = set(short)
-                    bucket_idx = [i for i in bucket_idx if i not in in_pack]
+                if len(short) <= 64:
+                    use_packed = True  # shape stability beats padding waste
+                else:
+                    # cost-based: pack only when the padded token count
+                    # beats bucketed padding (with a small bonus for
+                    # packing's single execution + single result transfer)
+                    remaining = plan.n_rows
+                    packed_tokens = 0
+                    while remaining > 0:
+                        chunk = min(remaining, self.max_batch)
+                        packed_tokens += _size_bucket(chunk) * self._pack_seq
+                        remaining -= chunk
+                    bucketed_tokens = sum(
+                        pick_bucket(lengths[i], self.seq_buckets)
+                        for i in short
+                    )
+                    use_packed = packed_tokens <= 1.15 * bucketed_tokens
+            if use_packed:
+                pack_idx = short
+                pack_plan = plan
+                in_pack = set(short)
+                bucket_idx = [i for i in bucket_idx if i not in in_pack]
 
         pending = []  # (original-index array, device rows, n_valid)
         with self.timers.phase("dispatch"):
