@@ -36,9 +36,8 @@ from .quant import (
     GGML_FTYPE_F32,
     GGML_FTYPE_Q4_0,
     GGML_FTYPE_Q4_1,
+    ggml_nbytes,
     nibble_histogram,
-    q4_0_quantize,
-    q4_1_quantize,
 )
 
 CONVERT_SKIP = ("embeddings.position_ids", "pooler.dense.weight",
@@ -100,33 +99,33 @@ def quantize_ggml(in_path: str, out_path: str, ftype: int,
     hp.ftype = ftype
 
     tensors: Dict[str, np.ndarray] = {}
-    global_hist = np.zeros(16, dtype=np.int64)
-    total_in = total_out = 0
+    total_in = 0
     for name, rec in mf.tensors.items():
-        arr = rec.to_f32()
-        tensors[name] = arr
-        tft = _tensor_ftype_for(name, arr, ftype)
-        nbytes_in = arr.size * (2 if rec.ftype == GGML_FTYPE_F16 else 4)
-        total_in += nbytes_in
-        if tft == ftype:  # will be quantized by the writer
-            if ftype == GGML_FTYPE_Q4_0:
-                codes, _ = q4_0_quantize(arr)
-            else:
-                codes, _, _ = q4_1_quantize(arr)
-            hist = nibble_histogram(codes)
-            global_hist += hist
-            nbytes_out = arr.size // 32 * (20 if ftype == GGML_FTYPE_Q4_0
-                                           else 24)
-            log(f"{name:>48s} - {list(arr.shape)} → {FTYPE_NAMES[ftype]} "
-                f"{nbytes_out / 1e6:7.2f} MB | hist "
-                + " ".join(f"{h / max(codes.size, 1):.3f}" for h in hist))
-        else:
-            nbytes_out = arr.size * 4
-            log(f"{name:>48s} - {list(arr.shape)} kept f32")
-        total_out += nbytes_out
+        tensors[name] = rec.to_f32()
+        total_in += rec.to_f32().size * (2 if rec.ftype == GGML_FTYPE_F16
+                                         else 4)
 
+    # write first (the writer quantizes each eligible tensor exactly once),
+    # then read the produced records back for the histograms — re-reading
+    # the small output file is far cheaper than quantizing twice
     write_ggml(out_path, hp, mf.vocab_tokens, tensors,
                tensor_order=list(mf.tensors))
+
+    out_mf = read_ggml(out_path)
+    global_hist = np.zeros(16, dtype=np.int64)
+    total_out = 0
+    for name, rec in out_mf.tensors.items():
+        nbytes_out = ggml_nbytes(rec.shape, rec.ftype)
+        total_out += nbytes_out
+        if rec.ftype == ftype:
+            hist = nibble_histogram(rec.codes)
+            global_hist += hist
+            log(f"{name:>48s} - {list(rec.shape)} → {FTYPE_NAMES[ftype]} "
+                f"{nbytes_out / 1e6:7.2f} MB | hist "
+                + " ".join(f"{h / max(rec.codes.size, 1):.3f}"
+                           for h in hist))
+        else:
+            log(f"{name:>48s} - {list(rec.shape)} kept f32")
     tot = max(int(global_hist.sum()), 1)
     log("global code histogram: "
         + " ".join(f"{h / tot:.3f}" for h in global_hist))

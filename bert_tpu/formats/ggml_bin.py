@@ -112,9 +112,15 @@ def read_ggml(path: str) -> GgmlModelFile:
         hparams = GgmlHParams.unpack(f.read(28))
 
         vocab_tokens: List[str] = []
-        for _ in range(hparams.n_vocab):
-            (ln,) = struct.unpack("<I", f.read(4))
-            vocab_tokens.append(f.read(ln).decode("utf-8", errors="replace"))
+        for i in range(hparams.n_vocab):
+            raw_len = f.read(4)
+            if len(raw_len) != 4:
+                raise ValueError(f"{path}: truncated vocab at entry {i}")
+            (ln,) = struct.unpack("<I", raw_len)
+            tok = f.read(ln)
+            if len(tok) != ln:
+                raise ValueError(f"{path}: truncated vocab token {i}")
+            vocab_tokens.append(tok.decode("utf-8", errors="replace"))
 
         tensors: Dict[str, TensorRecord] = {}
         while True:

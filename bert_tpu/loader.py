@@ -140,6 +140,8 @@ def load_hf_model(model_dir: str,
 
     with open(os.path.join(model_dir, "config.json")) as f:
         hf_cfg = json.load(f)
+    # the tanh-approximate GELU variants; plain "gelu" is exact erf
+    approx_acts = ("gelu_new", "gelu_fast", "gelu_pytorch_tanh")
     config = BertConfig(
         n_vocab=hf_cfg["vocab_size"],
         n_max_tokens=hf_cfg["max_position_embeddings"],
@@ -148,6 +150,8 @@ def load_hf_model(model_dir: str,
         n_head=hf_cfg["num_attention_heads"],
         n_layer=hf_cfg["num_hidden_layers"],
         ftype=quantize_ftype or 0,
+        layer_norm_eps=float(hf_cfg.get("layer_norm_eps", 1e-12)),
+        gelu_approx=hf_cfg.get("hidden_act", "gelu") in approx_acts,
     )
 
     named = _hf_state_dict(model_dir)
@@ -159,6 +163,11 @@ def load_hf_model(model_dir: str,
     params = params_from_named_tensors(named, config,
                                        quantize_ftype=quantize_ftype)
     vocab = Vocab.from_vocab_txt(os.path.join(model_dir, "vocab.txt"))
+    if len(vocab) > config.n_vocab:
+        # checkpoints with added tokens beyond config vocab_size would emit
+        # ids past the embedding table (JAX gathers clamp silently) —
+        # truncate exactly like the converter (convert.py vocab_size cut)
+        vocab = Vocab.from_tokens(vocab.tokens[: config.n_vocab])
     return LoadedModel(config=config, params=params, vocab=vocab)
 
 

@@ -8,9 +8,11 @@ work for a 4-8× cut in weight-side HBM traffic — the right trade on TPU,
 where matmuls at small batch are HBM-bandwidth-bound.
 
 Layout (see bert_tpu/quant.py): logical ``W[K, N]``,
-  * ``packed[K//2, N]`` uint8 — half-split nibbles: low = rows 0..K/2-1,
-    high = rows K/2..K-1, so in-kernel unpack is one concatenate along
-    sublanes (no interleave shuffles);
+  * ``packed[K//2, N]`` uint8 — GROUP-LOCAL half-split nibbles: within each
+    64-row group, low nibbles = the group's first 32 rows, high nibbles =
+    its last 32, so in-kernel unpack is a per-group sublane-band
+    concatenate (no interleave shuffles) and K-shards cut at 64-row
+    granularity stay valid;
   * ``scales[K//32, N]`` (+ ``mins[K//32, N]`` for Q4_1) broadcast over a
     [K//32, 32, N] view — pure VPU broadcasting, no gathers.
 

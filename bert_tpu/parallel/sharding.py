@@ -71,3 +71,11 @@ def check_tp_divisibility(config, tp: int, quantized: bool) -> None:
             f"quantized TP needs n_embd/tp ({config.n_embd}/{tp}) to be a "
             "multiple of 64 (Q4 block granularity, cf. bert.cpp:638)"
         )
+    if quantized and (config.n_intermediate // tp) % 64:
+        # ff_o_w is row-parallel with contraction dim n_intermediate: its
+        # packed Q4 shard must also cut on 64-row group boundaries
+        raise ValueError(
+            f"quantized TP needs n_intermediate/tp "
+            f"({config.n_intermediate}/{tp}) to be a multiple of 64 "
+            "(Q4 block granularity of the row-parallel FFN-down shard)"
+        )

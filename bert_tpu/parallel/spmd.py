@@ -51,12 +51,6 @@ def shard_params(mesh, params, pspecs: Optional[Dict[str, Any]] = None):
 def _expand_prefix_specs(params, pspecs):
     """Expand a prefix spec tree (one spec per named weight, covering all
     leaves of a QuantTensor node) to the exact leaf structure of params."""
-    def expand(p, s):
-        leaves = jax.tree_util.tree_leaves(p)
-        if len(leaves) == 1 and not isinstance(p, dict):
-            return s
-        return jax.tree_util.tree_map(lambda _: s, p)
-
     out = {}
     for group, sub in params.items():
         out[group] = {}
@@ -98,11 +92,13 @@ def make_sharded_encode_fn(
             tp_axis=eff_tp_axis,
         )
 
-    fwd = shard_map(
-        local_fwd,
+    kwargs = dict(
         mesh=mesh,
         in_specs=(pspecs, batch_pspec(dp_axis), batch_pspec(dp_axis)),
         out_specs=P(dp_axis, None),
-        check_vma=False,
     )
+    try:
+        fwd = shard_map(local_fwd, check_vma=False, **kwargs)
+    except TypeError:  # older jax: the kwarg is check_rep
+        fwd = shard_map(local_fwd, check_rep=False, **kwargs)
     return jax.jit(fwd)

@@ -15,12 +15,15 @@ models/quantize.cpp:213-218, README.md:15) in two layouts:
 
 2. **TPU layout** (:class:`QuantTensor`) — a structure-of-arrays layout
    pre-tiled for the MXU: for a logical weight ``W[K, N]`` (K = contraction
-   dim), codes are packed 2-per-byte along K with the LOW nibbles holding
-   rows ``0..K/2-1`` and HIGH nibbles rows ``K/2..K-1`` (a half-split, so the
-   in-kernel unpack is a single concatenate along sublanes instead of an
-   interleave), and block scales sit in separate ``[K/32, N]`` planes that
-   broadcast cleanly over lanes. See bert_tpu/ops/q4_matmul.py for the fused
-   dequant+matmul Pallas kernel consuming this layout.
+   dim), codes are packed 2-per-byte along K **group-locally**: within each
+   64-row group g, the packed band's LOW nibbles hold rows 64g..64g+31
+   (= q4 block 2g) and the HIGH nibbles rows 64g+32..64g+63 (= block 2g+1)
+   — see :func:`pack_tpu_layout`. The unpack is a sublane-band concatenate
+   per group (no interleave shuffles), and any K-shard cut at 64-row
+   granularity is itself a valid packed array (tensor-parallel row sharding
+   needs no repacking). Block scales sit in separate ``[K/32, N]`` planes
+   that broadcast cleanly over lanes. See bert_tpu/ops/q4_matmul.py for the
+   fused dequant+matmul Pallas kernel consuming this layout.
 
 Quantization happens along the weight's input (contraction) dimension in
 blocks of 32 — the same axis ggml uses (ne[0]; bert.cpp:638 asserts
@@ -180,9 +183,11 @@ def ggml_nbytes(shape: Tuple[int, ...], ftype: int) -> int:
 class QuantTensor:
     """MXU-tiled weight-only Q4 tensor for a logical ``W[K, N]`` matmul weight.
 
-    ``packed[K//2, N]`` uint8 — low nibble = W[k, n] code for k < K/2,
-    high nibble = code for k + K/2 (half-split packing).
-    ``scales[K//32, N]`` f32 (Q4_0/Q4_1), ``mins[K//32, N]`` f32 (Q4_1 only).
+    ``packed[K//2, N]`` uint8, GROUP-LOCAL half-split: packed row r holds in
+    its low nibble logical row ``64*(r//32) + (r%32)`` and in its high
+    nibble that row + 32 (i.e. each 32-packed-row band covers one 64-row
+    group; see pack_tpu_layout). ``scales[K//32, N]`` f32 (Q4_0/Q4_1),
+    ``mins[K//32, N]`` f32 (Q4_1 only).
 
     Registered as a JAX pytree in bert_tpu/params.py so it can be stacked,
     scanned over, and sharded like any other leaf.

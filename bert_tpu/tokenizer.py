@@ -120,6 +120,10 @@ class WordPieceTokenizer:
                      n_max_tokens: Optional[int] = None) -> List[int]:
         vocab = self.vocab
         cap = n_max_tokens if n_max_tokens is not None else 1 << 30
+        if cap <= 0:
+            return []
+        if cap == 1:  # degenerate cap: [CLS] only (mirrors the native core)
+            return [vocab.cls_id]
 
         tokens: List[int] = [vocab.cls_id]
         whole = vocab.token_to_id

@@ -109,7 +109,11 @@ void normalize(std::string_view in, std::string& out) {
 
 int32_t lookup(const std::unordered_map<std::string, int32_t>& m,
                std::string_view key) {
-  auto it = m.find(std::string(key));
+  // reuse one thread-local key buffer: after warmup its capacity covers
+  // every probe, so the hot greedy-match loop does no heap allocation
+  thread_local std::string buf;
+  buf.assign(key.data(), key.size());
+  auto it = m.find(buf);
   return it == m.end() ? -1 : it->second;
 }
 
@@ -174,6 +178,11 @@ void wp_vocab_free(void* vocab) { delete (Vocab*)vocab; }
 int32_t wp_tokenize(void* vocab, const char* text, int64_t text_len,
                     int32_t* out, int32_t n_max_tokens) {
   const Vocab& v = *(const Vocab*)vocab;
+  if (n_max_tokens <= 0) return 0;
+  if (n_max_tokens == 1) {  // degenerate cap: [CLS] only, never overflow
+    out[0] = v.cls_id;
+    return 1;
+  }
   thread_local std::string norm;
   normalize(std::string_view(text, text_len), norm);
 

@@ -67,3 +67,15 @@ def test_engine_uses_native_when_available(vocab):
     tok = WordPieceTokenizer(vocab, use_native=True)
     assert tok._native is not None
     assert tok.tokenize("Québec", 512) == [101, 5447, 102]
+
+
+def test_degenerate_caps_do_not_overflow(native, py_tok, vocab):
+    """n_max_tokens <= 1 must not write past the caller's buffer (the cap
+    guard used to only protect word pieces, not [CLS]/[SEP])."""
+    for text in ["hello world", "a b c d e f g h"]:
+        assert native.tokenize(text, 1) == [vocab.cls_id]
+        assert py_tok.tokenize(text, 1) == [vocab.cls_id]
+        two = native.tokenize(text, 2)
+        assert len(two) == 2 and two[0] == vocab.cls_id \
+            and two[-1] == vocab.sep_id
+        assert two == py_tok.tokenize(text, 2)
