@@ -24,10 +24,17 @@ def extract(path):
 
 
 def main() -> None:
+    # known modes, longest first so q4_0/q4_1 split before a bare '_0'
+    known_modes = ("sbert-batchless", "sbert", "q4_0", "q4_1", "f32", "f16")
     rows = defaultdict(dict)  # model -> mode -> {task: (score, time)}
     for res_dir in sorted(glob.glob(os.path.join(RESULTS, "*"))):
         name = os.path.basename(res_dir)
-        model, _, mode = name.rpartition("_")
+        for m in known_modes:
+            if name.endswith("_" + m):
+                model, mode = name[: -len(m) - 1], m
+                break
+        else:
+            model, _, mode = name.rpartition("_")
         for task_json in glob.glob(os.path.join(res_dir, "*.json")):
             task = os.path.splitext(os.path.basename(task_json))[0]
             rows[model].setdefault(mode, {})[task] = extract(task_json)

@@ -26,14 +26,31 @@ class TpuEngineForMTEB:
     """MTEB model adapter: encode(list[str], **kw) -> np.ndarray."""
 
     def __init__(self, model_path: str, mode: str):
+        import jax.numpy as jnp
+
         from bert_tpu import BertTPU
         from bert_tpu.quant import FTYPE_BY_NAME
 
+        # f32/f16 differ by compute dtype (weights stay dense); q4_* by
+        # weight quantization — so the four modes measure four distinct
+        # configurations, mirroring the reference's four file dtypes.
+        compute = jnp.float32 if mode == "f32" else None  # None → bf16 on TPU
         if os.path.isdir(model_path):
             qft = FTYPE_BY_NAME[mode] if mode in ("q4_0", "q4_1") else None
-            self.model = BertTPU.from_file(model_path, quantize_ftype=qft)
+            self.model = BertTPU.from_file(model_path, quantize_ftype=qft,
+                                           compute_dtype=compute)
         else:
-            self.model = BertTPU.from_file(model_path)
+            # a .bin path: substitute the dtype suffix if per-mode files
+            # exist (ggml naming: ggml-model-<dtype>.bin), else load as-is
+            candidate = None
+            for known in ("f32", "f16", "q4_0", "q4_1"):
+                if f"-{known}.bin" in model_path:
+                    candidate = model_path.replace(f"-{known}.bin",
+                                                   f"-{mode}.bin")
+                    break
+            path = (candidate if candidate and os.path.exists(candidate)
+                    else model_path)
+            self.model = BertTPU.from_file(path, compute_dtype=compute)
 
     def encode(self, sentences, **kwargs):
         return self.model.encode_batch(list(sentences))

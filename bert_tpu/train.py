@@ -131,14 +131,21 @@ def make_sharded_train_step(
         return NamedSharding(mesh, spec)
 
     param_sh = jax.tree_util.tree_map(_sh, pspecs)
-    # opt-state entries that mirror params (mu/nu) get param shardings;
-    # scalar counts are replicated
-    def opt_spec(x):
-        return _sh(P())
-
     placed_params = jax.tree_util.tree_map(jax.device_put, state.params,
                                            param_sh)
-    opt_state = optimizer.init(placed_params)  # inherits param shardings
+    # Place the INCOMING opt state (it may hold restored AdamW moments —
+    # re-initializing here would silently reset mu/nu and break checkpoint
+    # resume). A fresh init on the placed params provides the reference
+    # shardings: mu/nu mirror the params, scalar counts replicate.
+    ref_opt = optimizer.init(placed_params)
+
+    def _place_opt(ref, v):
+        sh = ref.sharding
+        if not isinstance(sh, NamedSharding):  # scalar counts → replicate
+            sh = _sh(P())
+        return jax.device_put(v, sh)
+
+    opt_state = jax.tree_util.tree_map(_place_opt, ref_opt, state.opt_state)
     placed = TrainState(params=placed_params, opt_state=opt_state,
                         step=jax.device_put(state.step, _sh(P())))
 

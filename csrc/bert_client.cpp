@@ -21,6 +21,7 @@
 #include "bert_compat.h"
 
 #include <arpa/inet.h>
+#include <netdb.h>
 #include <netinet/in.h>
 #include <netinet/tcp.h>
 #include <signal.h>
@@ -35,6 +36,7 @@
 #include <cstring>
 #include <ctime>
 #include <string>
+#include <algorithm>
 #include <vector>
 
 // native WordPiece core (csrc/wordpiece.cpp, linked into this library)
@@ -109,26 +111,28 @@ int pick_free_port() {
 }
 
 int connect_to(const char *host, int port) {
-    int fd = ::socket(AF_INET, SOCK_STREAM, 0);
-    if (fd < 0) return -1;
-    sockaddr_in addr{};
-    addr.sin_family = AF_INET;
-    addr.sin_port = htons(static_cast<uint16_t>(port));
-    if (::inet_pton(AF_INET, host, &addr.sin_addr) != 1) {
-        // resolve "localhost" and friends without pulling in full resolver
-        if (std::strcmp(host, "localhost") == 0) {
-            addr.sin_addr.s_addr = htonl(INADDR_LOOPBACK);
-        } else {
-            ::close(fd);
-            return -1;
-        }
-    }
-    if (::connect(fd, reinterpret_cast<sockaddr *>(&addr), sizeof(addr)) != 0) {
+    char port_str[16];
+    std::snprintf(port_str, sizeof(port_str), "%d", port);
+    struct addrinfo hints {};
+    hints.ai_family = AF_UNSPEC;  // full resolver: hostnames, v4 and v6
+    hints.ai_socktype = SOCK_STREAM;
+    struct addrinfo *res = nullptr;
+    if (::getaddrinfo(host, port_str, &hints, &res) != 0 || !res) return -1;
+    int fd = -1;
+    for (struct addrinfo *ai = res; ai; ai = ai->ai_next) {
+        fd = ::socket(ai->ai_family, ai->ai_socktype, ai->ai_protocol);
+        if (fd < 0) continue;
+        if (::connect(fd, ai->ai_addr, ai->ai_addrlen) == 0) break;
         ::close(fd);
-        return -1;
+        fd = -1;
     }
+    ::freeaddrinfo(res);
+    if (fd < 0) return -1;
     int one = 1;
     ::setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+    // bound every recv so a stalled peer cannot hang the host application
+    struct timeval tv {30, 0};
+    ::setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof(tv));
     return fd;
 }
 
@@ -171,7 +175,9 @@ bool load_header_and_vocab(const char *fname, bert_ctx *ctx) {
     int32_t cls_id = 101, sep_id = 102;  // bert.cpp:259-260 defaults
     for (int32_t i = 0; i < ctx->hp.n_vocab; ++i) {
         uint32_t len = 0;
-        if (std::fread(&len, 4, 1, f) != 1) {
+        if (std::fread(&len, 4, 1, f) != 1 || len > (1u << 20)) {
+            // a corrupt length word must not become a huge allocation
+            // (exceptions may not cross the C ABI)
             std::fclose(f);
             return false;
         }
@@ -271,17 +277,6 @@ bool wait_connect_handshake(const char *host, int port, bert_ctx *ctx) {
     return false;
 }
 
-bool encode_one(bert_ctx *ctx, const char *text, float *out) {
-    size_t len = std::strlen(text);
-    if (len == 0) {  // the wire has no empty-message framing
-        text = " ";
-        len = 1;
-    }
-    if (len > (1u << 15)) len = 1u << 15;  // reference read cap (server.cpp:27)
-    if (!send_all(ctx->fd, text, len)) return false;
-    return recv_all(ctx->fd, out, sizeof(float) * ctx->hp.n_embd);
-}
-
 bool eval_one(bert_ctx *ctx, const bert_vocab_id *tokens, int32_t n_tokens,
               float *out) {
     std::vector<char> msg(8 + 4 * static_cast<size_t>(n_tokens));
@@ -292,11 +287,34 @@ bool eval_one(bert_ctx *ctx, const bert_vocab_id *tokens, int32_t n_tokens,
     return recv_all(ctx->fd, out, sizeof(float) * ctx->hp.n_embd);
 }
 
+bool encode_one(bert_ctx *ctx, const char *text, float *out) {
+    // Prefer the framed eval path whenever local tokenization is available
+    // (spawn mode): the raw text protocol is UNFRAMED — one server read per
+    // message — so long text split across TCP segments desynchronizes the
+    // stream. The framed path carries exact lengths and exact ids.
+    if (ctx->wp_vocab) {
+        std::vector<int32_t> ids(
+            static_cast<size_t>(std::max(ctx->hp.n_max_tokens, 2)));
+        int32_t n = wp_tokenize(ctx->wp_vocab, text,
+                                static_cast<int64_t>(std::strlen(text)),
+                                ids.data(), ctx->hp.n_max_tokens);
+        return eval_one(ctx, ids.data(), n, out);
+    }
+    size_t len = std::strlen(text);
+    if (len == 0) {  // the wire has no empty-message framing
+        text = " ";
+        len = 1;
+    }
+    if (len > (1u << 15)) len = 1u << 15;  // reference read cap (server.cpp:27)
+    if (!send_all(ctx->fd, text, len)) return false;
+    return recv_all(ctx->fd, out, sizeof(float) * ctx->hp.n_embd);
+}
+
 }  // namespace
 
 extern "C" {
 
-struct bert_ctx *bert_load_from_file(const char *fname) {
+struct bert_ctx *bert_load_from_file(const char *fname) try {
     auto *ctx = new bert_ctx;
     const char *colon = std::strrchr(fname, ':');
     bool remote = colon != nullptr && std::strchr(fname, '/') == nullptr;
@@ -323,6 +341,13 @@ struct bert_ctx *bert_load_from_file(const char *fname) {
         return nullptr;
     }
     return ctx;
+} catch (const std::exception &e) {
+    // exceptions must not cross the C ABI (UB for C callers)
+    std::fprintf(stderr, "bert_client: load failed: %s\n", e.what());
+    return nullptr;
+} catch (...) {
+    std::fprintf(stderr, "bert_client: load failed (unknown error)\n");
+    return nullptr;
 }
 
 void bert_free(struct bert_ctx *ctx) {

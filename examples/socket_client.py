@@ -29,7 +29,10 @@ class EmbeddingClient:
         return buf
 
     def encode(self, text: str) -> np.ndarray:
-        self.sock.sendall(text.encode("utf-8"))
+        # the wire protocol is unframed: one server read of ≤ 32 KiB per
+        # message (reference server.cpp:27), so longer text MUST be
+        # truncated or the stream desynchronizes
+        self.sock.sendall(text.encode("utf-8")[: (1 << 15) - 1])
         return np.frombuffer(self._recv_exact(self.n_embd * 4), "<f4").copy()
 
     def close(self) -> None:

@@ -105,3 +105,37 @@ def test_engine_weight_cache_roundtrip(tmp_path):
     e1 = m1.encode_batch(["the store", "go"])
     e2 = m2.encode_batch(["the store", "go"])
     np.testing.assert_allclose(e1, e2, atol=1e-6)
+
+
+def test_sharded_placement_preserves_opt_state():
+    """make_sharded_train_step must NOT reset restored optimizer moments
+    (re-initializing mu/nu silently breaks checkpoint resume)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bert_tpu.parallel.mesh import make_mesh
+    from bert_tpu.params import (BertConfig, params_from_named_tensors,
+                                 random_named_tensors)
+    from bert_tpu.train import (init_train_state, make_optimizer,
+                                make_sharded_train_step)
+
+    cfg = BertConfig(n_vocab=64, n_max_tokens=32, n_embd=64,
+                     n_intermediate=128, n_head=4, n_layer=2)
+    params = params_from_named_tensors(random_named_tensors(cfg, 3), cfg)
+    opt = make_optimizer()
+    state = init_train_state(params, opt)
+    # simulate a restored state with non-zero moments and step
+    fake_mu = jax.tree_util.tree_map(
+        lambda x: np.full_like(np.asarray(x), 0.25), state.opt_state[0].mu)
+    restored = state._replace(
+        opt_state=(state.opt_state[0]._replace(
+            mu=fake_mu, count=jnp.int32(7)),) + tuple(state.opt_state[1:]),
+        step=jnp.int32(7),
+    )
+    mesh = make_mesh(8, tp=2)
+    placed, _ = make_sharded_train_step(mesh, cfg, opt, restored)
+    mu_leaf = np.asarray(
+        jax.tree_util.tree_leaves(placed.opt_state[0].mu)[0])
+    assert np.allclose(mu_leaf, 0.25), "restored mu was reset"
+    assert int(placed.opt_state[0].count) == 7
