@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Offline STS evaluation — the MTEB STSBenchmark protocol without the
+`mteb` package or network access.
+
+Input: a TSV file with ``sentence1<TAB>sentence2<TAB>score`` per line
+(STSB's own format; any similarity-labeled pair set works). The metric is
+the same one MTEB reports for STSB (cosine-similarity Spearman,
+benchmarks/print_tables.py extracts `cos_sim.spearman`), plus wall time —
+so numbers line up with the reference's README tables when run on the
+real STSB test split.
+
+Usage:
+  python benchmarks/eval_sts_local.py -m model.bin pairs.tsv [--mode q4_0]
+
+Writes results/<model>_<mode>/STSLocal.json in the same shape
+print_tables.py parses.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def spearman(a: np.ndarray, b: np.ndarray) -> float:
+    """Spearman rank correlation (average ranks for ties), numpy-only."""
+    def rank(x):
+        order = np.argsort(x, kind="mergesort")
+        ranks = np.empty(len(x), dtype=np.float64)
+        sx = x[order]
+        i = 0
+        while i < len(x):
+            j = i
+            while j + 1 < len(x) and sx[j + 1] == sx[i]:
+                j += 1
+            ranks[order[i:j + 1]] = 0.5 * (i + j) + 1.0
+            i = j + 1
+        return ranks
+    ra, rb = rank(np.asarray(a, np.float64)), rank(np.asarray(b, np.float64))
+    ra -= ra.mean()
+    rb -= rb.mean()
+    denom = np.sqrt((ra * ra).sum() * (rb * rb).sum())
+    return float((ra * rb).sum() / denom) if denom else 0.0
+
+
+def read_pairs(path):
+    s1, s2, gold = [], [], []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 3:
+                continue
+            s1.append(parts[0])
+            s2.append(parts[1])
+            gold.append(float(parts[2]))
+    if not gold:
+        raise ValueError(f"no pairs parsed from {path}")
+    return s1, s2, np.asarray(gold)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-m", "--model", required=True,
+                    help="ggml-bin file / HF dir / .npz cache")
+    ap.add_argument("pairs", help="TSV: sentence1<TAB>sentence2<TAB>score")
+    ap.add_argument("--mode", default="q4_0",
+                    help="label for the results dir (quantize HF dirs)")
+    ap.add_argument("--max-batch", type=int, default=1024)
+    args = ap.parse_args()
+
+    from bert_tpu import BertTPU
+    from bert_tpu.quant import FTYPE_BY_NAME
+
+    qft = (FTYPE_BY_NAME[args.mode]
+           if args.mode in ("q4_0", "q4_1") and os.path.isdir(args.model)
+           else None)
+    model = BertTPU.from_file(args.model, quantize_ftype=qft,
+                              max_batch=args.max_batch)
+
+    s1, s2, gold = read_pairs(args.pairs)
+    model.encode_batch(s1[:8] + s2[:8])  # warm the shape set
+
+    t0 = time.time()
+    emb = model.encode_batch(s1 + s2)
+    dt = time.time() - t0
+    e1, e2 = emb[: len(s1)], emb[len(s1):]
+    sims = (e1 * e2).sum(-1)  # embeddings are L2-normalized
+    rho = spearman(sims, gold)
+    n_sent = 2 * len(s1)
+    print(f"{len(s1)} pairs: cosine-Spearman {rho:.5f}, "
+          f"eval {dt:.2f}s ({n_sent / dt:.0f} sentences/s)")
+
+    out_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "results",
+        f"{os.path.basename(os.path.normpath(args.model))}_{args.mode}")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "STSLocal.json"), "w") as f:
+        json.dump({
+            "test": {"cos_sim": {"spearman": rho},
+                     "evaluation_time": round(dt, 2)},
+            "n_pairs": len(s1),
+        }, f, indent=1)
+    print(f"results in {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

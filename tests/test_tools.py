@@ -87,3 +87,25 @@ def test_quantize_rejects_quantized_source(hf_dir, tmp_path):
     quantize_ggml(out32, qp, 2, log=lambda *a: None)
     with pytest.raises(ValueError, match="f32/f16"):
         quantize_ggml(qp, str(tmp_path / "qq.bin"), 3, log=lambda *a: None)
+
+
+def test_eval_sts_local_spearman():
+    import sys
+    import tempfile
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "benchmarks"))
+    from eval_sts_local import read_pairs, spearman
+
+    a = np.array([1.0, 2.0, 3.0, 4.0])
+    assert spearman(a, a) == 1.0
+    assert spearman(a, -a) == -1.0
+    # ties handled with average ranks
+    assert abs(spearman(np.array([1.0, 1.0, 2.0]),
+                        np.array([3.0, 3.0, 5.0])) - 1.0) < 1e-12
+
+    tsv = os.path.join(tempfile.mkdtemp(), "pairs.tsv")
+    with open(tsv, "w") as f:
+        f.write("hello world\thello world\t5.0\n")
+        f.write("the store\tgoing home\t1.0\n")
+    s1, s2, gold = read_pairs(tsv)
+    assert s1 == ["hello world", "the store"] and list(gold) == [5.0, 1.0]
