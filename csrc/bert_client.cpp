@@ -130,9 +130,17 @@ int connect_to(const char *host, int port) {
     if (fd < 0) return -1;
     int one = 1;
     ::setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
-    // bound every recv so a stalled peer cannot hang the host application
-    struct timeval tv {30, 0};
-    ::setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof(tv));
+    // Bound every recv so a stalled peer cannot hang the host application.
+    // Generous default: the server's FIRST request on a shape may include
+    // a cold-cache XLA compile (tens of seconds) — a short timeout here
+    // fails that request and desynchronizes the unframed reply stream.
+    long secs = 300;
+    if (const char *t = std::getenv("BERT_TPU_RECV_TIMEOUT"))
+        secs = std::atol(t);
+    if (secs > 0) {
+        struct timeval tv {secs, 0};
+        ::setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof(tv));
+    }
     return fd;
 }
 
@@ -277,14 +285,31 @@ bool wait_connect_handshake(const char *host, int port, bert_ctx *ctx) {
     return false;
 }
 
+// After any send/recv failure the unframed reply stream cannot be
+// resynchronized (a late reply would be attributed to the next request),
+// so the connection is closed and the ctx marked dead.
+void poison_connection(bert_ctx *ctx) {
+    if (ctx->fd >= 0) {
+        ::close(ctx->fd);
+        ctx->fd = -1;
+    }
+    std::fprintf(stderr,
+                 "bert_client: connection failed (timeout or peer error); "
+                 "further calls on this ctx will fail\n");
+}
+
 bool eval_one(bert_ctx *ctx, const bert_vocab_id *tokens, int32_t n_tokens,
               float *out) {
     std::vector<char> msg(8 + 4 * static_cast<size_t>(n_tokens));
     std::memcpy(msg.data(), kBinEvalMagic, 4);
     std::memcpy(msg.data() + 4, &n_tokens, 4);
     std::memcpy(msg.data() + 8, tokens, 4 * static_cast<size_t>(n_tokens));
-    if (!send_all(ctx->fd, msg.data(), msg.size())) return false;
-    return recv_all(ctx->fd, out, sizeof(float) * ctx->hp.n_embd);
+    if (!send_all(ctx->fd, msg.data(), msg.size()) ||
+        !recv_all(ctx->fd, out, sizeof(float) * ctx->hp.n_embd)) {
+        poison_connection(ctx);
+        return false;
+    }
+    return true;
 }
 
 bool encode_one(bert_ctx *ctx, const char *text, float *out) {
@@ -306,8 +331,12 @@ bool encode_one(bert_ctx *ctx, const char *text, float *out) {
         len = 1;
     }
     if (len > (1u << 15)) len = 1u << 15;  // reference read cap (server.cpp:27)
-    if (!send_all(ctx->fd, text, len)) return false;
-    return recv_all(ctx->fd, out, sizeof(float) * ctx->hp.n_embd);
+    if (!send_all(ctx->fd, text, len) ||
+        !recv_all(ctx->fd, out, sizeof(float) * ctx->hp.n_embd)) {
+        poison_connection(ctx);
+        return false;
+    }
+    return true;
 }
 
 }  // namespace
