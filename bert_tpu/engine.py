@@ -351,8 +351,13 @@ class BertTPU:
             for b in batch_sizes:
                 ids = np.zeros((b, t), dtype=np.int32)
                 mask = np.ones((b, t), dtype=np.float32)
-                self._encode_jit(self._params_for(b * t), jnp.asarray(ids),
-                                 jnp.asarray(mask)).block_until_ready()
+                emb = self._encode_jit(self._params_for(b * t),
+                                       jnp.asarray(ids), jnp.asarray(mask))
+                # materialize ON HOST once: the first device→host transfer
+                # of a process pays a large one-time init on some hosts
+                # (tens to hundreds of seconds via the tunnel) — that cost
+                # belongs in warmup, not in the first client request
+                np.asarray(emb)
         if self._packing:
             cap = min(max_rows or self.max_batch, self.max_batch)
             row_counts = sorted({
