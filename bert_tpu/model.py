@@ -45,13 +45,14 @@ FUSED_ATTN_MAX_T = 512
 
 def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
                eps: float, *, residual: Optional[jax.Array] = None,
+               pre_bias: Optional[jax.Array] = None,
                use_pallas: Optional[bool] = None) -> jax.Array:
     """LayerNorm over the last axis, f32 statistics (bert.cpp:806-814).
     On TPU this runs as the fused Pallas kernel (ops/layer_norm.py) — one
-    read + one write instead of XLA's multiple f32 HBM passes; a residual
-    add fuses into the same pass."""
+    read + one write instead of XLA's multiple f32 HBM passes; the residual
+    add and the projection's output-bias add fuse into the same pass."""
     return fused_layer_norm(x, scale, bias, eps=eps, residual=residual,
-                            use_pallas=use_pallas)
+                            pre_bias=pre_bias, use_pallas=use_pallas)
 
 
 def dense(x: jax.Array, w, b: Optional[jax.Array] = None, *,
@@ -142,9 +143,8 @@ def encoder_layer(
     att_out = dense(ctx, lp["o_w"], None, use_pallas=use_pallas)
     if tp_axis is not None:
         att_out = jax.lax.psum(att_out, tp_axis)
-    att_out = att_out + lp["o_b"].astype(x.dtype)
     x = layer_norm(att_out, lp["ln_att_scale"], lp["ln_att_bias"],
-                   config.layer_norm_eps, residual=x,
+                   config.layer_norm_eps, residual=x, pre_bias=lp["o_b"],
                    use_pallas=use_pallas)  # residual 1, bert.cpp:859-875
 
     hgate = dense(x, lp["ff_i_w"], lp["ff_i_b"], use_pallas=use_pallas)
@@ -152,9 +152,9 @@ def encoder_layer(
     ff_out = dense(hgate, lp["ff_o_w"], None, use_pallas=use_pallas)
     if tp_axis is not None:
         ff_out = jax.lax.psum(ff_out, tp_axis)
-    ff_out = ff_out + lp["ff_o_b"].astype(x.dtype)
     return layer_norm(ff_out, lp["ln_out_scale"], lp["ln_out_bias"],
                       config.layer_norm_eps, residual=x,
+                      pre_bias=lp["ff_o_b"],
                       use_pallas=use_pallas)  # residual 2, bert.cpp:885-901
 
 

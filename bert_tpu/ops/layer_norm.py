@@ -27,7 +27,9 @@ from jax.experimental.pallas import tpu as pltpu
 from .common import round_up as _round_up
 
 
-def layer_norm_jnp(x, scale, bias, eps, residual=None):
+def layer_norm_jnp(x, scale, bias, eps, residual=None, pre_bias=None):
+    if pre_bias is not None:
+        x = x + pre_bias.astype(x.dtype)
     if residual is not None:
         x = x + residual
     xf = x.astype(jnp.float32)
@@ -53,8 +55,19 @@ def _ln_res_kernel(x_ref, r_ref, s_ref, b_ref, o_ref, *, eps):
     o_ref[:] = (y * s_ref[:] + b_ref[:]).astype(o_ref.dtype)
 
 
-def _ln_pallas(x2, scale, bias, eps, residual2, *, tile_m: int = 1024,
-               interpret: bool = False):
+def _ln_res_pb_kernel(x_ref, r_ref, pb_ref, s_ref, b_ref, o_ref, *, eps):
+    # LN(x + pre_bias + residual): folds the projection's output-bias add
+    # into the same HBM pass (the standard encoder-layer epilogue)
+    xf = (x_ref[:].astype(jnp.float32) + pb_ref[:]
+          + r_ref[:].astype(jnp.float32))
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    o_ref[:] = (y * s_ref[:] + b_ref[:]).astype(o_ref.dtype)
+
+
+def _ln_pallas(x2, scale, bias, eps, residual2, pre_bias=None,
+               *, tile_m: int = 1024, interpret: bool = False):
     m, d = x2.shape
     tm = min(tile_m, _round_up(m, 8))
     mp = _round_up(m, tm)
@@ -70,13 +83,19 @@ def _ln_pallas(x2, scale, bias, eps, residual2, *, tile_m: int = 1024,
                             memory_space=pltpu.VMEM)
     sb_spec = pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
     if residual2 is None:
+        assert pre_bias is None, "pre_bias requires the residual form"
         kernel = functools.partial(_ln_kernel, eps=eps)
         in_specs = [row_spec, sb_spec, sb_spec]
         operands = (x2, scale2, bias2)
-    else:
+    elif pre_bias is None:
         kernel = functools.partial(_ln_res_kernel, eps=eps)
         in_specs = [row_spec, row_spec, sb_spec, sb_spec]
         operands = (x2, residual2, scale2, bias2)
+    else:
+        pb2 = jnp.broadcast_to(pre_bias.astype(jnp.float32), (1, d))
+        kernel = functools.partial(_ln_res_pb_kernel, eps=eps)
+        in_specs = [row_spec, row_spec, sb_spec, sb_spec, sb_spec]
+        operands = (x2, residual2, pb2, scale2, bias2)
 
     itemsize = jnp.dtype(x2.dtype).itemsize
     n_in = 1 if residual2 is None else 2
@@ -103,17 +122,19 @@ def fused_layer_norm(
     *,
     eps: float,
     residual: Optional[jax.Array] = None,
+    pre_bias: Optional[jax.Array] = None,
     use_pallas: Optional[bool] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """LayerNorm over the last axis of ``x`` [..., D], optionally fusing a
-    residual add (``LN(x + residual)``) into the same HBM pass."""
+    residual add and a projection output-bias add
+    (``LN(x + pre_bias + residual)``) into the same HBM pass."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if not use_pallas:
-        return layer_norm_jnp(x, scale, bias, eps, residual)
+        return layer_norm_jnp(x, scale, bias, eps, residual, pre_bias)
     shape = x.shape
     x2 = x.reshape(-1, shape[-1])
     r2 = None if residual is None else residual.reshape(-1, shape[-1])
-    return _ln_pallas(x2, scale, bias, eps, r2,
+    return _ln_pallas(x2, scale, bias, eps, r2, pre_bias,
                       interpret=interpret).reshape(shape)

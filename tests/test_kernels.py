@@ -155,3 +155,18 @@ def test_fused_qkv_attention_vs_jnp(b, t, h, dh, pairwise, group):
     ref = np.asarray(_mha_jnp(q, k, v, bias, 0.3))  # [B, H, T, dh]
     ref = ref.transpose(0, 2, 1, 3).reshape(b, t, d)
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_fused_layer_norm_pre_bias():
+    from bert_tpu.ops.layer_norm import _ln_pallas, layer_norm_jnp
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((64, 96)).astype(np.float32))
+    r = jnp.asarray(rng.standard_normal((64, 96)).astype(np.float32))
+    pb = jnp.asarray(rng.standard_normal(96).astype(np.float32))
+    scale = jnp.asarray(rng.standard_normal(96).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(96).astype(np.float32))
+    ref = np.asarray(layer_norm_jnp(x, scale, bias, 1e-12, r, pb))
+    out = np.asarray(_ln_pallas(x, scale, bias, 1e-12, r, pb,
+                                interpret=True))
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
