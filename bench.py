@@ -88,6 +88,9 @@ def main() -> None:
     # Best of 5; if every trial is far below any healthy run, the tunnel
     # link is in one of its periodic multi-minute degradation windows
     # (docs/PERF.md "Environment artifacts") — wait and retry up to twice.
+    # The "healthy" floor is for THIS tunneled box (healthy runs measure
+    # 17-21k); override for other environments via env.
+    healthy_floor = float(os.environ.get("BENCH_HEALTHY_FLOOR", "8000"))
     best = 0.0
     for attempt in range(3):
         for trial in range(5):
@@ -97,7 +100,7 @@ def main() -> None:
             sps = N_SENTENCES / dt
             log(f"trial {trial}: {dt:.3f}s → {sps:.0f} sentences/s")
             best = max(best, sps)
-        if best >= 8000.0 or attempt == 2:
+        if best >= healthy_floor or attempt == 2:
             break
         log(f"all trials degraded (best {best:.0f}/s) — tunnel likely in a "
             "bad window, retrying in 90s")

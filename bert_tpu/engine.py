@@ -347,17 +347,23 @@ class BertTPU:
         each against the weight tree the threshold routing will pick."""
         if batch_sizes is None:
             batch_sizes = sorted({1, min(8, self.max_batch), self.max_batch})
+        first_transfer_done = False
         for t in self.seq_buckets:
             for b in batch_sizes:
                 ids = np.zeros((b, t), dtype=np.int32)
                 mask = np.ones((b, t), dtype=np.float32)
                 emb = self._encode_jit(self._params_for(b * t),
                                        jnp.asarray(ids), jnp.asarray(mask))
-                # materialize ON HOST once: the first device→host transfer
-                # of a process pays a large one-time init on some hosts
-                # (tens to hundreds of seconds via the tunnel) — that cost
-                # belongs in warmup, not in the first client request
-                np.asarray(emb)
+                if not first_transfer_done:
+                    # materialize ON HOST once: the first device→host
+                    # transfer of a process pays a large one-time init on
+                    # some hosts (tens to hundreds of seconds via the
+                    # tunnel) — that cost belongs in warmup, not in the
+                    # first client request. Later shapes only need compile.
+                    np.asarray(emb)
+                    first_transfer_done = True
+                else:
+                    emb.block_until_ready()
         if self._packing:
             cap = min(max_rows or self.max_batch, self.max_batch)
             row_counts = sorted({

@@ -83,7 +83,8 @@ def _ln_pallas(x2, scale, bias, eps, residual2, pre_bias=None,
                             memory_space=pltpu.VMEM)
     sb_spec = pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
     if residual2 is None:
-        assert pre_bias is None, "pre_bias requires the residual form"
+        if pre_bias is not None:  # not an assert: -O must not drop biases
+            raise ValueError("pre_bias requires the residual form")
         kernel = functools.partial(_ln_kernel, eps=eps)
         in_specs = [row_spec, sb_spec, sb_spec]
         operands = (x2, scale2, bias2)

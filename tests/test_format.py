@@ -110,24 +110,22 @@ def test_bad_magic(tmp_path):
 
 
 def test_truncated_files_raise(tmp_path):
-    """Truncation anywhere (vocab or tensor section) raises, never silently
-    corrupts (reference behavior: hard error on short reads)."""
-    import pytest
-
-    from bert_tpu.formats import read_ggml, write_ggml
-
+    """Truncation anywhere (vocab or tensor section) either raises or
+    yields an obviously-incomplete parse — never a silently complete model
+    (reference behavior: hard error on short reads)."""
     named = random_named_tensors(CFG, seed=2)
     path = str(tmp_path / "full.bin")
     write_ggml(path, _hparams(0), _vocab_tokens(CFG.n_vocab), named)
     data = open(path, "rb").read()
+    full = read_ggml(path)
     # cut inside the vocab section and inside the tensor section
     for frac in (0.001, 0.5):
         cut = str(tmp_path / f"cut_{frac}.bin")
         with open(cut, "wb") as f:
             f.write(data[: int(len(data) * frac)])
-        with pytest.raises((ValueError, Exception)):
+        try:
             mf = read_ggml(cut)
-            # a successful parse of a truncated file must at least be
-            # missing tensors (caught by the loader's inventory check)
-            assert len(mf.tensors) < 5
-            raise ValueError("tolerated truncation")
+        except Exception:
+            continue  # raising is the preferred outcome
+        assert len(mf.tensors) < len(full.tensors), (
+            "truncated file parsed as complete")
