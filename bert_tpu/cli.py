@@ -28,6 +28,12 @@ def add_common_args(ap: argparse.ArgumentParser) -> None:
                     help="quantize on load (HF checkpoints only)")
     ap.add_argument("--dtype", choices=["bf16", "f32"], default=None,
                     help="activation compute dtype (default: bf16 on TPU)")
+    ap.add_argument("--dp", type=int, default=None,
+                    help="data-parallel degree (batch rows sharded over the "
+                    "mesh's data axis; default 1)")
+    ap.add_argument("--tp", type=int, default=None,
+                    help="tensor-parallel degree (Megatron weight sharding "
+                    "over ICI-adjacent chips; default 1)")
 
 
 def load_model_from_args(args):
@@ -38,8 +44,11 @@ def load_model_from_args(args):
 
     qft = FTYPE_BY_NAME[args.quantize] if args.quantize else None
     dtype = {None: None, "bf16": jnp.bfloat16, "f32": jnp.float32}[args.dtype]
+    kw = {}
+    if getattr(args, "dp", None) or getattr(args, "tp", None):
+        kw = {"dp": args.dp, "tp": args.tp}
     return BertTPU.from_file(args.model, quantize_ftype=qft,
-                             compute_dtype=dtype)
+                             compute_dtype=dtype, **kw)
 
 
 def main(argv=None) -> None:

@@ -242,6 +242,7 @@ def bert_forward_packed(
     compute_dtype=jnp.float32,
     use_pallas: Optional[bool] = None,
     tp_axis: Optional[str] = None,
+    remat: bool = False,
 ) -> jax.Array:
     """Packed-row forward: token_ids/segment_ids/position_ids [B, T] →
     per-segment L2-normalized embeddings [B, n_segments, n_embd] f32.
@@ -249,7 +250,8 @@ def bert_forward_packed(
     Same encoder stack as :func:`bert_forward`; the differences are exactly
     the three packing requirements (bert_tpu/packing.py): per-segment
     positions, block-diagonal attention, per-segment pooling. Empty segment
-    slots return zero vectors."""
+    slots return zero vectors. ``remat`` checkpoints each scanned layer,
+    as in :func:`bert_forward`."""
     x = embed(params["embeddings"], token_ids, config, compute_dtype,
               position_ids=position_ids, use_pallas=use_pallas)
     mask_bias = segment_attention_bias(segment_ids)
@@ -262,6 +264,8 @@ def bert_forward_packed(
     def body(carry, lp):
         return step(carry, lp), None
 
+    if remat:
+        body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, params["layers"])
     return segment_mean_pool_l2(x, segment_ids, n_segments)
 

