@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Data-parallel scaling harness: sentences/s/device at dp ∈ {1,2,4,...}
+through the ENGINE's mesh path, with weak-scaling efficiency vs dp=1.
+
+Ready to run unmodified on real hardware (VERDICT r1 #2 / north star:
+≥85 % efficiency at 2 hosts):
+
+    # one host, all local chips:
+    python benchmarks/scaling.py -m model.bin --dp-list 1 2 4 8
+    # multi-host (per process; see bert_tpu/parallel/multihost.py):
+    BERT_TPU_COORDINATOR=h0:1234 BERT_TPU_NUM_PROCESSES=2 \
+    BERT_TPU_PROCESS_ID=$ID python benchmarks/scaling.py --multihost ...
+    # anywhere, as a harness check on the virtual CPU mesh:
+    python benchmarks/scaling.py --force-cpu-devices 8 --dp-list 1 2 4 8
+
+Prints one JSON line per dp: {"dp": N, "sentences_per_sec": S,
+"per_device": S/N, "efficiency": ...} — weak scaling: each device gets
+``--per-device`` sentences, so perfect scaling is constant per_device rate.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-m", "--model", default=None,
+                    help="model path (default: random MiniLM-L6-shaped q4)")
+    ap.add_argument("--dp-list", type=int, nargs="+", default=[1, 2, 4, 8])
+    ap.add_argument("--tp", type=int, default=1)
+    ap.add_argument("--per-device", type=int, default=512,
+                    help="sentences per device (weak scaling)")
+    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--multihost", action="store_true",
+                    help="init jax.distributed from env first")
+    ap.add_argument("--force-cpu-devices", type=int, default=None,
+                    help="CPU backend with N virtual devices (harness check)")
+    args = ap.parse_args()
+
+    if args.force_cpu_devices:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count="
+              f"{args.force_cpu_devices}").strip()
+
+    import jax
+
+    if args.force_cpu_devices:
+        jax.config.update("jax_platforms", "cpu")
+    if args.multihost:
+        from bert_tpu.parallel.multihost import init_distributed
+
+        init_distributed()
+
+    import numpy as np
+
+    from bert_tpu.engine import BertTPU
+    from bert_tpu.loader import LoadedModel, load_model
+    from bert_tpu.parallel.mesh import make_mesh
+
+    if args.model:
+        loaded = load_model(args.model)
+    else:
+        from bert_tpu.params import (
+            BertConfig,
+            params_from_named_tensors,
+            random_named_tensors,
+        )
+        from bert_tpu.vocab import Vocab
+
+        cfg = BertConfig(n_vocab=30522, n_max_tokens=512, n_embd=384,
+                         n_intermediate=1536, n_head=12, n_layer=6, ftype=2)
+        loaded = LoadedModel(
+            config=cfg,
+            params=params_from_named_tensors(
+                random_named_tensors(cfg, 0), cfg, quantize_ftype=2),
+            vocab=Vocab(tokens=[f"t{i}" for i in range(cfg.n_vocab)]))
+
+    n_dev = len(jax.devices())
+    rng = np.random.default_rng(0)
+    base_rate = None
+    for dp in args.dp_list:
+        if dp * args.tp > n_dev:
+            print(json.dumps({"dp": dp, "skipped":
+                              f"needs {dp * args.tp} devices, have {n_dev}"}))
+            continue
+        mesh = make_mesh(dp * args.tp, tp=args.tp)
+        eng = BertTPU(loaded, mesh=mesh,
+                      max_batch=max(128, dp * 8)) if dp * args.tp > 1 else \
+            BertTPU(loaded, max_batch=128)
+        n_sent = dp * args.per_device
+        lens = np.clip(rng.normal(12, 4, n_sent).astype(int), 4, 30)
+        lists = [rng.integers(0, loaded.config.n_vocab, size=ln)
+                 .astype(np.int32).tolist() for ln in lens]
+        eng.eval_tokens(lists[: min(64, n_sent)])  # compile
+        eng.eval_tokens(lists)  # warm every shape this workload hits
+        best = 0.0
+        for _ in range(args.trials):
+            t0 = time.time()
+            out = eng.eval_tokens(lists)
+            dt = time.time() - t0
+            best = max(best, n_sent / dt)
+        assert out.shape[0] == n_sent
+        per_dev = best / dp
+        if base_rate is None:
+            base_rate = per_dev
+        print(json.dumps({
+            "dp": dp, "tp": args.tp, "n_sentences": n_sent,
+            "sentences_per_sec": round(best, 1),
+            "per_device": round(per_dev, 1),
+            "efficiency": round(per_dev / base_rate, 3),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
