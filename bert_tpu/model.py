@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from .ops.attention import NEG_INF, multi_head_attention
+from .ops.common import f32_precision
 from .ops.fused_attention import fused_qkv_attention
 from .ops.int8_matmul import Int8Tensor, int8_matmul
 from .ops.layer_norm import fused_layer_norm
@@ -41,6 +42,11 @@ from .quant import QuantTensor
 # 14.0 ms; (16,512): 3.0 vs 4.9 ms — docs/PERF.md), so it covers the whole
 # BERT range; the per-(b,h) kernel remains for hypothetical longer inputs.
 FUSED_ATTN_MAX_T = 512
+# f32 compute requests full-precision MXU passes (ops/common.f32_precision),
+# which multiplies the kernel's VMEM working set — at T=512 the fused
+# kernel's scoped allocation exceeds the 16 MB v5e limit (measured: 22.2 MB
+# via the compiled parity gate). Long-T f32 routes to the per-(b,h) kernel.
+FUSED_ATTN_MAX_T_F32 = 256
 
 
 def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
@@ -68,8 +74,8 @@ def dense(x: jax.Array, w, b: Optional[jax.Array] = None, *,
         y = int8_matmul(x2, w).astype(x.dtype)
         n = w.n
     else:
-        y = jnp.dot(x2, w.astype(x.dtype), preferred_element_type=jnp.float32
-                    ).astype(x.dtype)
+        y = jnp.dot(x2, w.astype(x.dtype), preferred_element_type=jnp.float32,
+                    precision=f32_precision(x.dtype)).astype(x.dtype)
         n = w.shape[-1]
     y = y.reshape(*shape[:-1], n)
     if b is not None:
@@ -127,7 +133,9 @@ def encoder_layer(
     # QKV-attention kernel that never leaves the [B, T, lanes] layout wins;
     # at long T the per-(batch, head) flash-style kernel keeps the [T, T]
     # tile in VMEM. The jnp einsum path is the CPU/oracle fallback.
-    fused_short = (t <= FUSED_ATTN_MAX_T and use_pallas is not False
+    fused_max_t = (FUSED_ATTN_MAX_T_F32 if qkv.dtype == jnp.float32
+                   else FUSED_ATTN_MAX_T)
+    fused_short = (t <= fused_max_t and use_pallas is not False
                    and jax.default_backend() == "tpu")
     if fused_short:
         ctx = fused_qkv_attention(qkv, mask_bias, n_head=hl, d_head=dh,
@@ -177,7 +185,8 @@ def segment_mean_pool_l2(x: jax.Array, segment_ids: jax.Array,
     xf = x.astype(jnp.float32)
     # one_hot of -1 (padding) is all-zero, so pad tokens drop out
     oh = jax.nn.one_hot(segment_ids - 1, n_segments, dtype=jnp.float32)
-    sums = jnp.einsum("bts,btd->bsd", oh, xf)
+    sums = jnp.einsum("bts,btd->bsd", oh, xf,
+                      precision=jax.lax.Precision.HIGHEST)
     counts = jnp.sum(oh, axis=1)[..., None]
     pooled = sums / jnp.maximum(counts, 1.0)
     norm = jnp.sqrt(jnp.sum(jnp.square(pooled), axis=-1, keepdims=True))

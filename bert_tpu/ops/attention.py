@@ -26,7 +26,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .common import NEG_INF  # noqa: F401  (re-exported; model.py imports it)
+from .common import (  # noqa: F401  (NEG_INF re-exported; model.py imports)
+    NEG_INF,
+    f32_precision,
+)
 
 
 def _bias4(mask_bias):
@@ -41,10 +44,13 @@ def _bias4(mask_bias):
 
 def _mha_jnp(q, k, v, mask_bias, scale):
     """Reference path: [B, H, T, dh] batched einsum attention."""
-    s = jnp.einsum("bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32)
+    prec = f32_precision(q.dtype)
+    s = jnp.einsum("bhtd,bhsd->bhts", q, k,
+                   preferred_element_type=jnp.float32, precision=prec)
     s = s * scale + _bias4(mask_bias)
     p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
-    return jnp.einsum("bhts,bhsd->bhtd", p, v, preferred_element_type=jnp.float32
+    return jnp.einsum("bhts,bhsd->bhtd", p, v,
+                      preferred_element_type=jnp.float32, precision=prec
                       ).astype(q.dtype)
 
 
@@ -53,11 +59,14 @@ def _mha_kernel(q_ref, kt_ref, v_ref, bias_ref, o_ref, *, scale):
     kt = kt_ref[0, 0]        # [dh, T]
     v = v_ref[0, 0]          # [T, dh]
     bias = bias_ref[0]       # [1, T]
-    s = jnp.dot(q, kt, preferred_element_type=jnp.float32) * scale + bias
+    prec = f32_precision(q.dtype)
+    s = jnp.dot(q, kt, preferred_element_type=jnp.float32,
+                precision=prec) * scale + bias
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
-    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32,
+                precision=prec)
     o_ref[0, 0] = o.astype(o_ref.dtype)
 
 

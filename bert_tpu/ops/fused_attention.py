@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .common import NEG_INF, round_up as _round_up
+from .common import NEG_INF, f32_precision, round_up as _round_up
 
 
 def _fused_attn_kernel(qkv_ref, bias_ref, o_ref, *, n_head, d_head, seq,
@@ -77,6 +77,7 @@ def _fused_attn_kernel(qkv_ref, bias_ref, o_ref, *, n_head, d_head, seq,
     # over the [n, n] tile counts)
     biasmask = jnp.where(same_blk, jnp.broadcast_to(bias2d, (n, n)), NEG_INF)
 
+    prec = f32_precision(qkv.dtype)
     ctxs = []
     for hi in range(h):
         base = hi * 3 * dh
@@ -86,12 +87,13 @@ def _fused_attn_kernel(qkv_ref, bias_ref, o_ref, *, n_head, d_head, seq,
         v = qkv[:, base + 2 * dh:base + 3 * dh]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         ) + biasmask  # [n, n], single dh-deep MXU pass per 128×128 tile
         m = jnp.max(s, axis=-1, keepdims=True)
         e = (jnp.exp(s - m)).astype(qkv.dtype)
         # defer normalization to the dh-wide context (n·dh ≪ n² divides)
-        ctx = jnp.dot(e, v, preferred_element_type=jnp.float32)
+        ctx = jnp.dot(e, v, preferred_element_type=jnp.float32,
+                      precision=prec)
         denom = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
         ctxs.append(ctx / denom)
     # per-head [n, dh] outputs concatenate along lanes into the model's

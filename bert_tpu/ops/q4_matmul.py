@@ -31,7 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..quant import QK, QuantTensor
-from .common import round_up as _round_up
+from .common import f32_precision, round_up as _round_up
 
 
 # ---------------------------------------------------------------------------
@@ -64,7 +64,8 @@ def q4_dequantize_jnp(qt: QuantTensor, dtype=jnp.float32) -> jax.Array:
 
 def _q4_matmul_jnp(x: jax.Array, qt: QuantTensor) -> jax.Array:
     w = q4_dequantize_jnp(qt, dtype=x.dtype)
-    return jnp.dot(x, w, preferred_element_type=jnp.float32)
+    return jnp.dot(x, w, preferred_element_type=jnp.float32,
+                   precision=f32_precision(x.dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -91,7 +92,8 @@ def _q4_matmul_kernel(x_ref, p_ref, s_ref, o_ref, *, is_q4_1, m_ref=None):
     else:
         w3 = (codes3 - 8).astype(jnp.float32) * scales
     w = w3.reshape(half * 2, tn).astype(x.dtype)
-    o_ref[:] = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    o_ref[:] = jnp.dot(x, w, preferred_element_type=jnp.float32,
+                       precision=f32_precision(x.dtype))
 
 
 def _q4_matmul_pallas(

@@ -9,22 +9,33 @@ does not reliably override the plugin, so we also use jax.config.update.
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# BERT_TPU_REAL_TPU=1 keeps the real TPU backend for the on-chip
+# compiled-kernel parity gate (tests/test_kernels_tpu.py — run it as its
+# own pytest invocation; see the verify skill). Default: forced 8-device
+# virtual CPU so the whole suite runs anywhere.
+_REAL_TPU = os.environ.get("BERT_TPU_REAL_TPU") == "1"
+
+if not _REAL_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _REAL_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def pytest_configure(config):
-    assert jax.default_backend() == "cpu", (
-        "tests must run on the virtual-CPU backend, got "
-        + jax.default_backend()
-    )
+    config.addinivalue_line(
+        "markers", "tpu: needs a real TPU chip (run with BERT_TPU_REAL_TPU=1)")
+    if not _REAL_TPU:
+        assert jax.default_backend() == "cpu", (
+            "tests must run on the virtual-CPU backend, got "
+            + jax.default_backend()
+        )
