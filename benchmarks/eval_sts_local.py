@@ -75,9 +75,9 @@ def main() -> None:
     from bert_tpu import BertTPU
     from bert_tpu.quant import FTYPE_BY_NAME
 
-    qft = (FTYPE_BY_NAME[args.mode]
-           if args.mode in ("q4_0", "q4_1") and os.path.isdir(args.model)
-           else None)
+    # q4 modes quantize on load (HF dirs AND dense ggml files; files
+    # already stored at that ftype load bit-exactly)
+    qft = FTYPE_BY_NAME[args.mode] if args.mode in ("q4_0", "q4_1") else None
     model = BertTPU.from_file(args.model, quantize_ftype=qft,
                               max_batch=args.max_batch)
 

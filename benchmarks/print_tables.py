@@ -23,11 +23,13 @@ def extract(path):
     return score, test.get("evaluation_time")
 
 
-def main() -> None:
+def main(results_dir: str = None) -> None:
+    if results_dir is None:
+        results_dir = sys.argv[1] if len(sys.argv) > 1 else RESULTS
     # known modes, longest first so q4_0/q4_1 split before a bare '_0'
     known_modes = ("sbert-batchless", "sbert", "q4_0", "q4_1", "f32", "f16")
     rows = defaultdict(dict)  # model -> mode -> {task: (score, time)}
-    for res_dir in sorted(glob.glob(os.path.join(RESULTS, "*"))):
+    for res_dir in sorted(glob.glob(os.path.join(results_dir, "*"))):
         name = os.path.basename(res_dir)
         for m in known_modes:
             if name.endswith("_" + m):

@@ -121,9 +121,26 @@ def params_from_ggml(mf: GgmlModelFile) -> Tuple[BertConfig, Dict[str, Any]]:
     return config, {"embeddings": emb, "layers": layers}
 
 
-def load_ggml_model(path: str) -> LoadedModel:
+def load_ggml_model(path: str,
+                    quantize_ftype: Optional[int] = None) -> LoadedModel:
+    """``quantize_ftype`` quantizes a dense (f32/f16) file's matmul weights
+    on load — one-step parity with running models/quantize.cpp first.
+    Files already stored quantized keep their bit-exact repacked codes
+    (requesting a different ftype for them is an error, not a requant)."""
     mf = read_ggml(path)
     config, params = params_from_ggml(mf)
+    if quantize_ftype in (GGML_FTYPE_Q4_0, GGML_FTYPE_Q4_1):
+        if config.ftype in (GGML_FTYPE_Q4_0, GGML_FTYPE_Q4_1):
+            if config.ftype != quantize_ftype:
+                raise ValueError(
+                    f"{path} stores ftype {config.ftype}; refusing a lossy "
+                    f"requantization to {quantize_ftype}")
+        else:
+            from .params import quantize_params
+
+            params = quantize_params(params, quantize_ftype)
+            config = BertConfig(**{**config.__dict__,
+                                   "ftype": quantize_ftype})
     vocab = Vocab.from_tokens(mf.vocab_tokens)
     return LoadedModel(config=config, params=params, vocab=vocab)
 
@@ -207,4 +224,4 @@ def load_model(path: str,
                              "save with vocab_tokens")
         return LoadedModel(config=config, params=params,
                            vocab=Vocab.from_tokens(vocab_tokens))
-    return load_ggml_model(path)
+    return load_ggml_model(path, quantize_ftype=quantize_ftype)

@@ -220,6 +220,31 @@ def params_from_named_tensors(
     return {"embeddings": emb, "layers": layers}
 
 
+def quantize_params(params: Dict[str, Dict[str, WeightLike]],
+                    ftype: int) -> Dict[str, Dict[str, WeightLike]]:
+    """Quantize a DENSE params tree's matmul weights to Q4_0/Q4_1 stacked
+    QuantTensors (weight-only; biases/LayerNorms/embeddings untouched) —
+    the on-load path for f32/f16 ggml files, mirroring what
+    models/quantize.cpp does offline for the reference."""
+    from .quant import quantize_tensor_tpu
+
+    layers = dict(params["layers"])
+    for key in _MATMUL_KEYS:
+        w = layers[key]
+        if isinstance(w, QuantTensor):
+            continue  # already quantized
+        stacked = np.asarray(w, np.float32)
+        qts = [quantize_tensor_tpu(stacked[l], ftype)
+               for l in range(stacked.shape[0])]
+        layers[key] = QuantTensor(
+            packed=np.stack([q.packed for q in qts]),
+            scales=np.stack([q.scales for q in qts]),
+            mins=(np.stack([q.mins for q in qts])
+                  if qts[0].mins is not None else None),
+        )
+    return {"embeddings": params["embeddings"], "layers": layers}
+
+
 def params_to_int8(params: Dict[str, Dict[str, WeightLike]]
                    ) -> Dict[str, Dict[str, WeightLike]]:
     """Derive a W8A8-eval parameter tree: every matmul weight becomes a
