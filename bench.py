@@ -1,4 +1,6 @@
-"""Headline benchmark: sentences/s on all-MiniLM-L6-v2 Q4_0, single chip.
+"""Headline benchmark: sentences/s on all-MiniLM-L6-v2 Q4_0, single chip,
+plus a model sweep (MiniLM-L12, bert-base) matching BASELINE.md's three
+model sections.
 
 Mirrors the reference's benchmark protocol (benchmarks/run_mteb.py measures
 wall time for embedding the MTEB STSBenchmark test split: 1,379 pairs =
@@ -7,13 +9,15 @@ sentences/s on the reference CPU at 6 threads). Here: the same number of
 sentences with an STSB-like length distribution, end-to-end through
 BertTPU.encode_batch (host tokenization + bucketed batching + TPU eval).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "sentences/s", "vs_baseline": N/506}
+Prints ONE JSON line: the headline MiniLM-L6 metric, with the sweep under
+"extra_metrics":
+  {"metric": ..., "value": N, "unit": "sentences/s", "vs_baseline": N/506,
+   "extra_metrics": [{..L12..}, {..bert-base..}]}
 
-No network: the model is MiniLM-L6-shaped with seeded random weights
+No network: models are shape-identical with seeded random weights
 quantized to Q4_0 through the full ggml-bin file path (write → load →
 repack), and sentences are sampled from the fixture vocabulary. Compute
-cost is identical to the real checkpoint at these shapes.
+cost is identical to the real checkpoints at these shapes.
 """
 
 import json
@@ -27,21 +31,32 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 import numpy as np
 
-BASELINE_SENTENCES_PER_SEC = 506.0  # BASELINE.md: 2758 / 5.45 s
+# reference CPU q4_0 STSB rates (BASELINE.md / SURVEY.md §6): 2758 / time
+BASELINE_SENTENCES_PER_SEC = 506.0   # MiniLM-L6:  2758 / 5.45 s
+BASELINE_L12 = 2758 / 11.27          # ≈ 245/s
+BASELINE_BASE = 2758 / 33.93         # ≈ 81/s
 N_SENTENCES = 2758  # STSB test split sentence count
+
+MODELS = {
+    # name → (n_embd, n_intermediate, n_head, n_layer, baseline)
+    "minilm_l6": (384, 1536, 12, 6, BASELINE_SENTENCES_PER_SEC),
+    "minilm_l12": (384, 1536, 12, 12, BASELINE_L12),
+    "bert_base": (768, 3072, 12, 12, BASELINE_BASE),
+}
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_model_file(path: str) -> None:
+def build_model_file(path: str, name: str = "minilm_l6") -> None:
     from bert_tpu.formats import GgmlHParams, write_ggml
     from bert_tpu.params import BertConfig, random_named_tensors
     from fixture_vocab import build_fixture_tokens
 
-    cfg = BertConfig(n_vocab=30522, n_max_tokens=512, n_embd=384,
-                     n_intermediate=1536, n_head=12, n_layer=6)
+    d, f, h, l, _ = MODELS[name]
+    cfg = BertConfig(n_vocab=30522, n_max_tokens=512, n_embd=d,
+                     n_intermediate=f, n_head=h, n_layer=l)
     hp = GgmlHParams(cfg.n_vocab, cfg.n_max_tokens, cfg.n_embd,
                      cfg.n_intermediate, cfg.n_head, cfg.n_layer, ftype=2)
     write_ggml(path, hp, build_fixture_tokens(), random_named_tensors(cfg, 0))
@@ -59,61 +74,85 @@ def synth_sentences(n: int, seed: int = 0):
     return [" ".join(rng.choice(words, size=ln)) for ln in lens]
 
 
+def measure_model(name: str, sentences, *, trials: int,
+                  healthy_floor: float, retries: int) -> float:
+    """Best sentences/s for one model over the corpus, with tunnel-window
+    retries (docs/PERF.md "Environment artifacts")."""
+    from bert_tpu import BertTPU
+
+    path = f"/tmp/bench_{name}_q4_0.bin"
+    if not os.path.exists(path):
+        t0 = time.time()
+        build_model_file(path, name)
+        log(f"[{name}] built model file in {time.time() - t0:.1f}s "
+            f"({os.path.getsize(path) / 1e6:.1f} MB)")
+    t0 = time.time()
+    model = BertTPU.from_file(path, max_batch=2048)
+    log(f"[{name}] loaded in {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    emb = model.encode_batch(sentences)  # warm every shape (compile once)
+    log(f"[{name}] warmup (compile) {time.time() - t0:.1f}s")
+
+    best = 0.0
+    for attempt in range(retries + 1):
+        for trial in range(trials):
+            t0 = time.time()
+            emb = model.encode_batch(sentences)
+            dt = time.time() - t0
+            sps = len(sentences) / dt
+            log(f"[{name}] trial {trial}: {dt:.3f}s → {sps:.0f} sentences/s")
+            best = max(best, sps)
+        if best >= healthy_floor or attempt == retries:
+            break
+        log(f"[{name}] all trials degraded (best {best:.0f}/s) — tunnel "
+            "likely in a bad window, retrying in 90s")
+        time.sleep(90)
+    assert emb.shape == (len(sentences), model.n_embd)
+    norms = np.linalg.norm(emb, axis=-1)
+    assert np.allclose(norms, 1.0, atol=1e-2), "embeddings not L2-normalized"
+    return best
+
+
 def main() -> None:
     import logging
 
     logging.disable(logging.WARNING)  # silence per-token unknown warnings
 
-    from bert_tpu import BertTPU
-
-    path = "/tmp/bench_minilm_l6_q4_0.bin"
-    if not os.path.exists(path):
-        t0 = time.time()
-        build_model_file(path)
-        log(f"built model file in {time.time() - t0:.1f}s "
-            f"({os.path.getsize(path) / 1e6:.1f} MB)")
-
-    t0 = time.time()
-    model = BertTPU.from_file(path, max_batch=2048)
-    log(f"loaded in {time.time() - t0:.1f}s")
-
     sentences = synth_sentences(N_SENTENCES)
-
-    # warm up every bucket shape this workload hits (compile once)
-    t0 = time.time()
-    model.encode_batch(sentences)
-    log(f"warmup (compile) {time.time() - t0:.1f}s")
-
-    # measured run: full corpus, end-to-end incl. tokenization.
-    # Best of 5; if every trial is far below any healthy run, the tunnel
-    # link is in one of its periodic multi-minute degradation windows
-    # (docs/PERF.md "Environment artifacts") — wait and retry up to twice.
     # The "healthy" floor is for THIS tunneled box (healthy runs measure
-    # 17-21k); override for other environments via env.
-    healthy_floor = float(os.environ.get("BENCH_HEALTHY_FLOOR", "8000"))
-    best = 0.0
-    for attempt in range(3):
-        for trial in range(5):
-            t0 = time.time()
-            emb = model.encode_batch(sentences)
-            dt = time.time() - t0
-            sps = N_SENTENCES / dt
-            log(f"trial {trial}: {dt:.3f}s → {sps:.0f} sentences/s")
-            best = max(best, sps)
-        if best >= healthy_floor or attempt == 2:
-            break
-        log(f"all trials degraded (best {best:.0f}/s) — tunnel likely in a "
-            "bad window, retrying in 90s")
-        time.sleep(90)
-    assert emb.shape == (N_SENTENCES, 384)
-    norms = np.linalg.norm(emb, axis=-1)
-    assert np.allclose(norms, 1.0, atol=1e-2), "embeddings not L2-normalized"
+    # 17-21k on MiniLM-L6); override for other environments via env.
+    floor = float(os.environ.get("BENCH_HEALTHY_FLOOR", "8000"))
+
+    best = measure_model("minilm_l6", sentences, trials=5,
+                         healthy_floor=floor, retries=2)
+
+    # model sweep (BASELINE.md's other two sections) — best-effort: a
+    # sweep failure must not lose the headline metric
+    extra = []
+    for name in ("minilm_l12", "bert_base"):
+        _, _, _, _, baseline = MODELS[name]
+        try:
+            sps = measure_model(name, sentences, trials=3,
+                                healthy_floor=floor * baseline / 506.0,
+                                retries=1)
+            extra.append({
+                "metric": f"sentences_per_sec_{name}_q4_0",
+                "value": round(sps, 1),
+                "unit": "sentences/s",
+                "vs_baseline": round(sps / baseline, 2),
+            })
+        except Exception as exc:  # noqa: BLE001
+            log(f"[{name}] sweep failed: {exc!r}")
+            extra.append({"metric": f"sentences_per_sec_{name}_q4_0",
+                          "error": str(exc)})
 
     print(json.dumps({
         "metric": "sentences_per_sec_minilm_l6_q4_0",
         "value": round(best, 1),
         "unit": "sentences/s",
         "vs_baseline": round(best / BASELINE_SENTENCES_PER_SEC, 2),
+        "extra_metrics": extra,
     }))
 
 

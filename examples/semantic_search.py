@@ -18,6 +18,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# tiny built-in fallback; the shipped default is examples/corpus.txt
+# (1,300+ original lines across ten topics — the counterpart of the
+# reference's examples/sample_client_texts.txt demo corpus)
 DEMO_CORPUS = [
     "The store opens at nine in the morning.",
     "Apples and bananas are on sale today.",
@@ -30,6 +33,16 @@ DEMO_CORPUS = [
     "Going to the market to buy three apples.",
     "It is sunny with a light breeze.",
 ]
+
+CORPUS_TXT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "corpus.txt")
+
+
+def _default_corpus():
+    if os.path.exists(CORPUS_TXT):
+        with open(CORPUS_TXT, encoding="utf-8") as f:
+            return [ln.strip() for ln in f if ln.strip()]
+    return DEMO_CORPUS
 
 
 def main() -> None:
@@ -46,7 +59,7 @@ def main() -> None:
         with open(args.corpus, encoding="utf-8") as f:
             texts = [ln.strip() for ln in f if ln.strip()]
     else:
-        texts = DEMO_CORPUS
+        texts = _default_corpus()
     print(f"embedding corpus of {len(texts)} lines ...")
     t0 = time.time()
     corpus_emb = model.encode_batch(texts)  # [N, D], L2-normalized

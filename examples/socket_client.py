@@ -7,6 +7,7 @@ handshake, UTF-8 text per message, raw f32 vector replies.
 Usage: python examples/socket_client.py [--host H] [--port P] [corpus.txt]
 """
 import argparse
+import os
 import socket
 import struct
 import sys
@@ -50,8 +51,16 @@ def main() -> None:
     print(f"connected; n_embd = {client.n_embd}")
 
     corpus, corpus_emb = [], None
-    if args.corpus:
-        with open(args.corpus, encoding="utf-8") as f:
+    corpus_path = args.corpus
+    if corpus_path is None:
+        # shipped default corpus (examples/corpus.txt, 1,300+ lines) —
+        # counterpart of the reference's examples/sample_client_texts.txt
+        default = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "corpus.txt")
+        if os.path.exists(default):
+            corpus_path = default
+    if corpus_path:
+        with open(corpus_path, encoding="utf-8") as f:
             corpus = [ln.strip() for ln in f if ln.strip()]
         print(f"embedding {len(corpus)} corpus lines via server ...")
         corpus_emb = np.stack([client.encode(t) for t in corpus])

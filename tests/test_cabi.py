@@ -203,6 +203,52 @@ def test_eval_batch_framed_64(libbert, ctx):
     assert t_batch < t_serial, (t_batch, t_serial)
 
 
+def test_server_death_poisons_ctx(libbert, model_file):
+    """Server killed mid-session: the C client must POISON the connection
+    (no reply misattribution) — the failing call leaves the caller's buffer
+    untouched and subsequent calls fail fast instead of hanging."""
+    import socket
+    import subprocess
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "bert_tpu.server", "-m", model_file,
+         "--host", "127.0.0.1", "--port", str(port), "--no-warmup"],
+        env={**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": repo},
+        stdout=subprocess.DEVNULL)
+    handle = None
+    try:
+        handle = libbert.bert_load_from_file(f"127.0.0.1:{port}".encode())
+        assert handle
+        out = (ctypes.c_float * 64)()
+        libbert.bert_encode(handle, 6, b"warm request", out)
+        assert abs(np.linalg.norm(np.ctypeslib.as_array(out)) - 1.0) < 1e-2
+
+        proc.kill()
+        proc.wait(timeout=30)
+
+        sentinel = (ctypes.c_float * 64)(*([7.0] * 64))
+        libbert.bert_encode(handle, 6, b"after the crash", sentinel)
+        vals = np.ctypeslib.as_array(sentinel)
+        # no misattributed reply: buffer untouched (or at worst zeroed),
+        # never a plausible unit-norm embedding
+        assert np.all(vals == 7.0) or np.all(vals == 0.0), vals[:4]
+
+        t0 = time.time()
+        libbert.bert_encode(handle, 6, b"poisoned", sentinel)
+        assert time.time() - t0 < 2.0, "poisoned ctx must fail fast"
+    finally:
+        if proc.poll() is None:
+            proc.terminate()
+            proc.wait(timeout=30)
+        if handle:
+            libbert.bert_free(handle)
+
+
 def test_hostport_mode_learns_n_max_tokens(libbert, model_file):
     """'host:port' ctx queries the framed META message instead of assuming
     n_max_tokens=512 (ADVICE r1), and serves encodes via raw text."""
