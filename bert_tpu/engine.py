@@ -22,6 +22,7 @@ evaluation runs on the TPU's MXU instead of a pthread pool.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, List, Optional, Sequence
 
 import jax
@@ -413,17 +414,61 @@ class BertTPU:
         return self.encode_batch([text])[0]
 
     # -- warmup --------------------------------------------------------------
+    def _warm_shape(self, rows: int, seq: int, kind: str,
+                    materialize: bool) -> None:
+        """Compile-and-run one (rows, seq) shape on zeros. ``materialize``
+        pulls the result to host: the first device→host transfer of a
+        process pays a large one-time init on some hosts (tens to hundreds
+        of seconds via a tunnel) — that cost belongs in warmup, not in the
+        first client request."""
+        ids = np.zeros((rows, seq), dtype=np.int32)
+        if kind == "packed":
+            seg = np.zeros((rows, seq), dtype=np.int32)
+            pos = np.zeros((rows, seq), dtype=np.int32)
+            emb3 = self._encode_packed_jit(
+                self._params_for(rows * seq), jnp.asarray(ids),
+                jnp.asarray(seg), jnp.asarray(pos))
+            emb = self._gather_segments_jit(
+                emb3, jnp.asarray(np.zeros(256, np.int32)))
+        else:
+            mask = np.ones((rows, seq), dtype=np.float32)
+            emb = self._encode_jit(self._params_for(rows * seq),
+                                   jnp.asarray(ids), jnp.asarray(mask))
+        if materialize:
+            np.asarray(emb)
+        else:
+            emb.block_until_ready()
+
     def warmup(self, batch_sizes: Optional[Sequence[int]] = None,
-               max_rows: Optional[int] = None) -> None:
+               max_rows: Optional[int] = None,
+               manifest: Optional[Any] = None) -> None:
         """Pre-compile shapes to avoid first-request latency.
 
-        Warms the bucketed (B, T) grid for the given ``batch_sizes``
-        (default: 1, 8 and max_batch — NOT every reachable power-of-two
-        batch bucket; with packing on, short sentences route packed, so
-        the bucketed path mostly sees small long-sentence batches) plus
-        every packed-path row bucket up to ``max_rows`` (default
-        max_batch; pass the serving-side batch cap if it is smaller) —
-        each against the weight tree the threshold routing will pick."""
+        With ``manifest`` (a path written by :meth:`save_warmup_manifest`,
+        or its ``shapes`` list), warms EXACTLY the shapes a previous run of
+        this serving config executed — the minimal compile set.
+
+        Otherwise warms the bucketed (B, T) grid for the given
+        ``batch_sizes`` (default: 1, 8 and max_batch — NOT every reachable
+        power-of-two batch bucket; with packing on, short sentences route
+        packed, so the bucketed path mostly sees small long-sentence
+        batches) plus every packed-path row bucket up to ``max_rows``
+        (default max_batch; pass the serving-side batch cap if it is
+        smaller) — each against the weight tree the threshold routing will
+        pick."""
+        if manifest is not None:
+            shapes = manifest
+            if isinstance(manifest, (str, bytes)):
+                import json
+
+                with open(manifest, encoding="utf-8") as f:
+                    shapes = json.load(f)["shapes"]
+            first = True
+            for sh in shapes:
+                self._warm_shape(int(sh["rows"]), int(sh["seq"]),
+                                 sh.get("kind", "bucketed"), first)
+                first = False
+            return
         if batch_sizes is None:
             batch_sizes = sorted({self._dp,
                                   min(max(8, self._dp), self.max_batch),
@@ -434,34 +479,51 @@ class BertTPU:
         first_transfer_done = False
         for t in self.seq_buckets:
             for b in batch_sizes:
-                ids = np.zeros((b, t), dtype=np.int32)
-                mask = np.ones((b, t), dtype=np.float32)
-                emb = self._encode_jit(self._params_for(b * t),
-                                       jnp.asarray(ids), jnp.asarray(mask))
-                if not first_transfer_done:
-                    # materialize ON HOST once: the first device→host
-                    # transfer of a process pays a large one-time init on
-                    # some hosts (tens to hundreds of seconds via the
-                    # tunnel) — that cost belongs in warmup, not in the
-                    # first client request. Later shapes only need compile.
-                    np.asarray(emb)
-                    first_transfer_done = True
-                else:
-                    emb.block_until_ready()
+                self._warm_shape(b, t, "bucketed",
+                                 materialize=not first_transfer_done)
+                first_transfer_done = True
         if self._packing:
             cap = min(max_rows or self.max_batch, self.max_batch)
             row_counts = sorted({
                 min(_size_bucket(r, self._min_rows), cap)
                 for r in range(1, cap + 1)
             })
-            t = self._pack_seq
             for r in row_counts:
-                ids = np.zeros((r, t), dtype=np.int32)
-                seg = np.zeros((r, t), dtype=np.int32)
-                pos = np.zeros((r, t), dtype=np.int32)
-                emb3 = self._encode_packed_jit(
-                    self._params_for(r * t), jnp.asarray(ids),
-                    jnp.asarray(seg), jnp.asarray(pos))
-                flat = np.zeros(256, np.int32)
-                self._gather_segments_jit(
-                    emb3, jnp.asarray(flat)).block_until_ready()
+                self._warm_shape(r, self._pack_seq, "packed",
+                                 materialize=False)
+
+    def seen_shapes(self) -> List[Dict[str, Any]]:
+        """The (rows, seq) shapes this engine has actually executed
+        (from the bucket counters) — the warmup set a serving config
+        really needs."""
+        return [
+            {"rows": b, "seq": s,
+             "kind": "packed" if kind == "packed" else "bucketed"}
+            for (b, s, kind) in sorted(self.timers.bucket_counts)
+        ]
+
+    def save_warmup_manifest(self, path: str) -> None:
+        """Persist the union of ``seen_shapes()`` and any shapes already in
+        ``path`` so the next start of this serving config can
+        ``warmup(manifest=path)`` — compiling only what it will actually
+        reach instead of the whole default grid."""
+        import json
+
+        shapes = {(s["rows"], s["seq"], s["kind"])
+                  for s in self.seen_shapes()}
+        if os.path.exists(path):
+            try:
+                with open(path, encoding="utf-8") as f:
+                    for s in json.load(f)["shapes"]:
+                        shapes.add((int(s["rows"]), int(s["seq"]),
+                                    s.get("kind", "bucketed")))
+            except (ValueError, KeyError):
+                pass  # corrupt manifest: rewrite from scratch
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump({
+                "version": 1,
+                "model": {"n_embd": self.config.n_embd,
+                          "n_layer": self.config.n_layer},
+                "shapes": [{"rows": r, "seq": s, "kind": k}
+                           for r, s, k in sorted(shapes)],
+            }, f, indent=1)

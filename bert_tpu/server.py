@@ -380,6 +380,10 @@ def main(argv=None) -> None:
                     "(>1 overlaps batches on compute-bound hosts)")
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip pre-compiling bucket shapes at startup")
+    ap.add_argument("--warmup-manifest", default=None, metavar="PATH",
+                    help="warm only the shapes a previous run of this "
+                    "config executed (written back on shutdown) instead "
+                    "of the whole default grid")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
@@ -387,20 +391,40 @@ def main(argv=None) -> None:
     model = load_model_from_args(args)
     if not args.no_warmup:
         t0 = time.time()
-        print("warming up bucket shapes ...", flush=True)
-        # rows never exceed the scheduler's per-batch sentence cap
-        model.warmup(batch_sizes=[1, 8, args.max_batch],
-                     max_rows=args.max_batch)
+        import os as _os
+
+        if args.warmup_manifest and _os.path.exists(args.warmup_manifest):
+            print(f"warming shapes from {args.warmup_manifest} ...",
+                  flush=True)
+            model.warmup(manifest=args.warmup_manifest)
+        else:
+            print("warming up bucket shapes ...", flush=True)
+            # rows never exceed the scheduler's per-batch sentence cap
+            model.warmup(batch_sizes=[1, 8, args.max_batch],
+                         max_rows=args.max_batch)
         print(f"warmup done in {time.time() - t0:.1f}s", flush=True)
 
     server = EmbeddingServer(model, host=args.host, port=args.port,
                              max_batch=args.max_batch,
                              batch_window_ms=args.batch_window_ms,
                              pipeline_depth=args.pipeline_depth)
+    # graceful SIGTERM (systemd/docker stop): without this the process
+    # dies mid-eval and the warmup-manifest write-back never runs
+    import signal
+
+    def _sigterm(*_):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _sigterm)
     try:
         asyncio.run(server.serve())
     except KeyboardInterrupt:
         pass
+    finally:
+        if args.warmup_manifest:
+            # record the shapes this run actually executed so the next
+            # start compiles exactly those (merged with any prior runs)
+            model.save_warmup_manifest(args.warmup_manifest)
 
 
 if __name__ == "__main__":
