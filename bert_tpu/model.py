@@ -30,23 +30,19 @@ import jax.numpy as jnp
 
 from .ops.attention import NEG_INF, multi_head_attention
 from .ops.common import f32_precision
-from .ops.fused_attention import fused_qkv_attention
+from .ops.fused_attention import fused_attn_supported, fused_qkv_attention
 from .ops.int8_matmul import Int8Tensor, int8_matmul
 from .ops.layer_norm import fused_layer_norm
 from .ops.q4_matmul import q4_matmul
 from .params import BertConfig
 from .quant import QuantTensor
 
-# Longest T the fused QKV-attention kernel owns. Measured on v5e it beats
-# the per-(batch, head) kernel at every encoder length ((64,256): 6.3 vs
-# 14.0 ms; (16,512): 3.0 vs 4.9 ms — docs/PERF.md), so it covers the whole
-# BERT range; the per-(b,h) kernel remains for hypothetical longer inputs.
-FUSED_ATTN_MAX_T = 512
-# f32 compute requests full-precision MXU passes (ops/common.f32_precision),
-# which multiplies the kernel's VMEM working set — at T=512 the fused
-# kernel's scoped allocation exceeds the 16 MB v5e limit (measured: 22.2 MB
-# via the compiled parity gate). Long-T f32 routes to the per-(b,h) kernel.
-FUSED_ATTN_MAX_T_F32 = 256
+# Attention routing: the fused QKV-attention kernel wherever its measured
+# Mosaic compile envelope allows (ops/fused_attention.fused_attn_supported
+# — on MiniLM-class models that is every bucket; measured on v5e it beats
+# the per-(batch, head) kernel at every encoder length: (64,256): 6.3 vs
+# 14.0 ms; (16,512): 3.0 vs 4.9 ms — docs/PERF.md). Outside the envelope
+# (long-T × large-D, f32 long-T) the per-(b,h) kernel takes over.
 
 
 def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
@@ -133,9 +129,8 @@ def encoder_layer(
     # QKV-attention kernel that never leaves the [B, T, lanes] layout wins;
     # at long T the per-(batch, head) flash-style kernel keeps the [T, T]
     # tile in VMEM. The jnp einsum path is the CPU/oracle fallback.
-    fused_max_t = (FUSED_ATTN_MAX_T_F32 if qkv.dtype == jnp.float32
-                   else FUSED_ATTN_MAX_T)
-    fused_short = (t <= fused_max_t and use_pallas is not False
+    fused_short = (fused_attn_supported(t, hl, dh, qkv.dtype)
+                   and use_pallas is not False
                    and jax.default_backend() == "tpu")
     if fused_short:
         ctx = fused_qkv_attention(qkv, mask_bias, n_head=hl, d_head=dh,

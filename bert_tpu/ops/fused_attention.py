@@ -110,6 +110,41 @@ def pick_group(n_head: int, seq: int, target: int = 128) -> int:
     return max(1, target // seq)
 
 
+def fused_attn_supported(seq: int, n_head: int, d_head: int, dtype) -> bool:
+    """Measured Mosaic compile envelope for this kernel on v5e (round 2).
+
+    Big (T, D=H·dh) combinations crash the Mosaic compiler (remote
+    tpu_compile_helper exit 1 — not a clean scoped-VMEM error), and the
+    failure boundary is irregular in H: e.g. at T=512, (H=8, dh=64) and
+    (H=12, dh=48) compile but (H=16, dh=32) and (H=12, dh=64) do not;
+    (T=384, H=16, dh=64) compiles but (T=384, H=24, dh=64) does not;
+    (T=256, H=24, dh=64) compiles but (T=256, H=32, dh=64) does not.
+    The rule below keeps a safety margin under every measured failure —
+    unsupported shapes route to the per-(batch, head) kernel
+    (ops/attention.py), whose relayout overhead matters least exactly at
+    these long-T/large-D shapes where score FLOPs dominate.
+
+    In model terms: MiniLM-class (D=384) is fused at every bucket;
+    bert-base (D=768) and bge-large-class (D=1024, H=16) are fused for
+    T ≤ 384 and fall back only at the 512 bucket; H ≥ 24 falls back
+    above T=128.
+    """
+    d = n_head * d_head
+    if jnp.dtype(dtype) == jnp.float32:
+        # full-precision passes roughly double the working set: shift the
+        # envelope one bucket down (MiniLM measured OK at T=256, and the
+        # T=512 f32 fused case measured 22.2 MB of scoped VMEM)
+        return (seq <= 128 and d <= 512 and n_head <= 16) or \
+               (seq <= 256 and d <= 384 and n_head <= 12)
+    if seq <= 128:
+        return d <= 1536 and n_head <= 24
+    if seq <= 256:
+        return d <= 1024 and n_head <= 16
+    if seq <= 384:
+        return d <= 1024 and n_head <= 16
+    return d <= 384 and n_head <= 12
+
+
 def fused_qkv_attention(
     qkv: jax.Array,
     mask_bias: jax.Array,

@@ -170,3 +170,30 @@ def test_fused_layer_norm_pre_bias():
     out = np.asarray(_ln_pallas(x, scale, bias, 1e-12, r, pb,
                                 interpret=True))
     np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_fused_attn_envelope_policy():
+    """Routing policy vs the measured v5e Mosaic compile envelope
+    (ops/fused_attention.fused_attn_supported): every measured-FAIL shape
+    must route to the per-(b,h) kernel; the common model shapes must stay
+    fused."""
+    import jax.numpy as jnp
+
+    from bert_tpu.ops.fused_attention import fused_attn_supported
+
+    # measured Mosaic compile FAILURES (bf16) — must be outside the envelope
+    for (t, h, dh) in [(512, 12, 64), (512, 16, 64), (512, 16, 32),
+                       (512, 24, 64), (384, 24, 64), (256, 32, 64)]:
+        assert not fused_attn_supported(t, h, dh, jnp.bfloat16), (t, h, dh)
+
+    # the shapes real models serve — must stay fused (all measured OK)
+    for (t, h, dh) in [(64, 12, 32), (128, 12, 32), (512, 12, 32),  # MiniLM
+                       (64, 12, 64), (128, 12, 64), (384, 12, 64),  # base
+                       (64, 16, 64), (256, 16, 64), (384, 16, 64)]:  # bge-l
+        assert fused_attn_supported(t, h, dh, jnp.bfloat16), (t, h, dh)
+
+    # f32: halved envelope, MiniLM short buckets still fused
+    assert fused_attn_supported(128, 12, 32, jnp.float32)
+    assert fused_attn_supported(256, 12, 32, jnp.float32)
+    assert not fused_attn_supported(512, 12, 32, jnp.float32)
+    assert not fused_attn_supported(256, 16, 64, jnp.float32)

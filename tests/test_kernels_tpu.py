@@ -51,15 +51,20 @@ def test_q4_matmul_compiled(ftype, m, k, n):
     (16, 128, 12, 32, False),   # MiniLM shape, padding mask [B, T]→bias
     (8, 64, 12, 64, True),      # bert-base head dim, packed [B, T, T] bias
     (4, 512, 12, 32, False),    # longest bucket
+    (4, 384, 16, 64, False),    # bge-large class (D=1024, H=16), T=384
+    (8, 64, 16, 64, True),      # bge-large class, packed bias
 ])
 def test_fused_qkv_attention_compiled(dtype, b, t, h, dh, pairwise):
-    from bert_tpu.model import FUSED_ATTN_MAX_T_F32
     from bert_tpu.ops.attention import _mha_jnp
-    from bert_tpu.ops.fused_attention import fused_qkv_attention
+    from bert_tpu.ops.fused_attention import (
+        fused_attn_supported,
+        fused_qkv_attention,
+    )
 
-    if dtype == jnp.float32 and t > FUSED_ATTN_MAX_T_F32:
-        pytest.skip("f32 long-T routes to the per-(b,h) kernel "
-                    "(VMEM: full-precision passes at T=512 exceed 16 MB)")
+    if not fused_attn_supported(t, h, dh, dtype):
+        pytest.skip("outside the fused kernel's measured Mosaic compile "
+                    "envelope — the model routes this shape to the "
+                    "per-(b,h) kernel (tested below)")
 
     d = h * dh
     qkv_f32 = RNG.standard_normal((b, t, 3 * d)).astype(np.float32)
@@ -86,11 +91,14 @@ def test_fused_qkv_attention_compiled(dtype, b, t, h, dh, pairwise):
     np.testing.assert_allclose(out, ref, atol=tol, rtol=tol)
 
 
-# -- per-(b,h) attention kernel (long-T path) ------------------------------
-def test_mha_pallas_compiled():
+# -- per-(b,h) attention kernel (long-T / outside-fused-envelope path) -----
+@pytest.mark.parametrize("b,h,t,dh", [
+    (4, 12, 512, 32),   # MiniLM longest bucket
+    (2, 16, 512, 64),   # bge-large longest bucket (fused-envelope fallback)
+])
+def test_mha_pallas_compiled(b, h, t, dh):
     from bert_tpu.ops.attention import _mha_jnp, _mha_pallas
 
-    b, h, t, dh = 4, 12, 512, 32
     q = jnp.asarray(RNG.standard_normal((b, h, t, dh)).astype(np.float32))
     k = jnp.asarray(RNG.standard_normal((b, h, t, dh)).astype(np.float32))
     v = jnp.asarray(RNG.standard_normal((b, h, t, dh)).astype(np.float32))
