@@ -120,7 +120,9 @@ def test_server_flag_writes_manifest(tmp_path):
         env={**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": repo},
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
     try:
-        deadline = time.time() + 120
+        # generous: under full-suite CPU contention the tiny model's
+        # default warmup grid can take minutes to compile
+        deadline = time.time() + 420
         conn = None
         while time.time() < deadline:
             try:
@@ -146,7 +148,7 @@ def test_server_flag_writes_manifest(tmp_path):
     finally:
         proc.terminate()
         try:
-            proc.wait(timeout=60)
+            proc.wait(timeout=120)
         except subprocess.TimeoutExpired:
             proc.kill()
             proc.wait(timeout=30)
