@@ -114,6 +114,55 @@ def measure_model(name: str, sentences, *, trials: int,
     return best
 
 
+def measure_device_side(name: str, rows: int = 512, t: int = 16) -> float:
+    """Pure device-side sentences/s via the slope method (docs/PERF.md:
+    block_until_ready is unreliable on tunneled hosts, so time a jitted
+    lax.scan chain with a REAL data dependency between iterations and take
+    Δt between two chain lengths). (rows, t) = the bucket the STSB length
+    distribution actually lands in."""
+    import jax
+    import jax.numpy as jnp
+
+    from bert_tpu import BertTPU
+    from bert_tpu.model import bert_forward
+
+    model = BertTPU.from_file(f"/tmp/bench_{name}_q4_0.bin")
+    params, cfg = model.params, model.config
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, cfg.n_vocab, size=(rows, t),
+                                   dtype=np.int32))
+    mask = jnp.ones((rows, t), jnp.float32)
+
+    def chain(n):
+        def body(c, _):
+            ids2 = ids + (c * 1e-30).astype(jnp.int32)
+            emb = bert_forward(params, ids2, mask, cfg,
+                               compute_dtype=jnp.bfloat16)
+            return c + emb[0, 0].astype(jnp.float32) * 1e-30, ()
+
+        def run(x):
+            del x
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
+            return c
+
+        return jax.jit(run)
+
+    f_short, f_long = chain(8), chain(24)
+    float(f_short(0)), float(f_long(0))  # compile + warm
+    step = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        float(f_short(0))
+        t_short = time.time() - t0
+        t0 = time.time()
+        float(f_long(0))
+        t_long = time.time() - t0
+        step = min(step, (t_long - t_short) / 16)
+    log(f"[{name}] device step ({rows},{t}): {step * 1e3:.2f} ms "
+        f"→ {rows / step:.0f} sentences/s device-side")
+    return rows / step
+
+
 def main() -> None:
     import logging
 
@@ -146,6 +195,19 @@ def main() -> None:
             log(f"[{name}] sweep failed: {exc!r}")
             extra.append({"metric": f"sentences_per_sec_{name}_q4_0",
                           "error": str(exc)})
+
+    # device-side rate (slope-timed, transfer-free): the per-chip number
+    # the e2e figure approaches as d2h ceases to dominate (docs/PERF.md)
+    try:
+        dev = measure_device_side("minilm_l6")
+        extra.append({
+            "metric": "device_side_sentences_per_sec_minilm_l6_q4_0",
+            "value": round(dev, 1),
+            "unit": "sentences/s",
+            "vs_baseline": round(dev / BASELINE_SENTENCES_PER_SEC, 2),
+        })
+    except Exception as exc:  # noqa: BLE001
+        log(f"device-side measurement failed: {exc!r}")
 
     print(json.dumps({
         "metric": "sentences_per_sec_minilm_l6_q4_0",
