@@ -30,19 +30,22 @@ import jax.numpy as jnp
 
 from .ops.attention import NEG_INF, multi_head_attention
 from .ops.common import f32_precision
-from .ops.fused_attention import fused_attn_supported, fused_qkv_attention
+from .ops.fused_attention import fused_qkv_attention, pick_head_chunk
 from .ops.int8_matmul import Int8Tensor, int8_matmul
 from .ops.layer_norm import fused_layer_norm
 from .ops.q4_matmul import q4_matmul
 from .params import BertConfig
 from .quant import QuantTensor
 
-# Attention routing: the fused QKV-attention kernel wherever its measured
-# Mosaic compile envelope allows (ops/fused_attention.fused_attn_supported
-# — on MiniLM-class models that is every bucket; measured on v5e it beats
-# the per-(batch, head) kernel at every encoder length: (64,256): 6.3 vs
-# 14.0 ms; (16,512): 3.0 vs 4.9 ms — docs/PERF.md). Outside the envelope
-# (long-T × large-D, f32 long-T) the per-(b,h) kernel takes over.
+# Attention routing: the fused QKV-attention kernel wherever
+# ops/fused_attention.pick_head_chunk finds a whole-kernel or head-chunked
+# configuration inside the measured Mosaic compile envelope — on
+# MiniLM-class models that is the whole kernel at every bucket; long-T ×
+# large-D shapes grid over head chunks. Measured on v5e the fused kernel
+# beats the per-(batch, head) kernel at every encoder length ((64,256):
+# 6.3 vs 14.0 ms; (16,512): 3.0 vs 4.9 ms — docs/PERF.md); the per-(b,h)
+# kernel remains the fallback when no chunking fits (odd head dims, f32
+# long-T).
 
 
 def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
@@ -129,12 +132,12 @@ def encoder_layer(
     # QKV-attention kernel that never leaves the [B, T, lanes] layout wins;
     # at long T the per-(batch, head) flash-style kernel keeps the [T, T]
     # tile in VMEM. The jnp einsum path is the CPU/oracle fallback.
-    fused_short = (fused_attn_supported(t, hl, dh, qkv.dtype)
-                   and use_pallas is not False
+    head_chunk = pick_head_chunk(t, hl, dh, qkv.dtype)
+    fused_short = (head_chunk is not None and use_pallas is not False
                    and jax.default_backend() == "tpu")
     if fused_short:
         ctx = fused_qkv_attention(qkv, mask_bias, n_head=hl, d_head=dh,
-                                  scale=scale)
+                                  scale=scale, head_chunk=head_chunk)
     else:
         qkv = qkv.reshape(b, t, hl, 3, dh).transpose(0, 2, 3, 1, 4)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B,hl,T,dh]

@@ -110,6 +110,27 @@ def pick_group(n_head: int, seq: int, target: int = 128) -> int:
     return max(1, target // seq)
 
 
+def pick_head_chunk(seq: int, n_head: int, d_head: int, dtype) -> Optional[int]:
+    """Heads per kernel invocation. ``n_head`` (whole kernel, the fast
+    path) when the full shape is inside the measured Mosaic envelope;
+    otherwise the largest divisor of ``n_head`` whose lane-block width
+    (3·d_head·chunk) is a multiple of 128 and whose per-chunk shape fits
+    the envelope — the kernel then grids over head chunks, with the
+    BlockSpec slicing each chunk's lanes (so per-step VMEM and compile
+    size scale with the chunk, not the model). None → no fused route
+    (per-(batch, head) kernel)."""
+    if fused_attn_supported(seq, n_head, d_head, dtype):
+        return n_head
+    for hc in range(n_head - 1, 0, -1):
+        if n_head % hc:
+            continue
+        if (3 * d_head * hc) % 128:
+            continue
+        if fused_attn_supported(seq, hc, d_head, dtype):
+            return hc
+    return None
+
+
 def fused_attn_supported(seq: int, n_head: int, d_head: int, dtype) -> bool:
     """Measured Mosaic compile envelope for this kernel on v5e (round 2).
 
@@ -153,12 +174,23 @@ def fused_qkv_attention(
     d_head: int,
     scale: float,
     group: Optional[int] = None,
+    head_chunk: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """qkv [B, T, 3D] (head-interleaved) + additive bias ([B, T] key-side or
-    [B, T, T] pairwise) → context [B, T, D]."""
+    [B, T, T] pairwise) → context [B, T, D].
+
+    ``head_chunk`` (default: all heads) grids the kernel over chunks of
+    heads: the qkv/output BlockSpecs slice each chunk's 3·dh·hc lanes, so
+    the kernel body, its VMEM blocks, and Mosaic's compile size all scale
+    with the chunk — this is what keeps long-T × large-D shapes inside the
+    compiler's envelope (see :func:`pick_head_chunk`). The head-interleaved
+    layout makes the lane slicing free: chunk c owns exactly lanes
+    [3·dh·hc·c, 3·dh·hc·(c+1))."""
     b, t, _ = qkv.shape
     d = n_head * d_head
+    hc = head_chunk if head_chunk is not None else n_head
+    assert n_head % hc == 0, (n_head, hc)
     pairwise = mask_bias.ndim == 3
     if not pairwise:
         # [B, T] → [B, 1, T]: keeps the block's last-two dims (1, T) legal
@@ -171,22 +203,22 @@ def fused_qkv_attention(
         mask_bias = jnp.pad(mask_bias, ((0, bp - b), (0, 0), (0, 0)))
 
     kernel = functools.partial(
-        _fused_attn_kernel, n_head=n_head, d_head=d_head, seq=t, group=g,
+        _fused_attn_kernel, n_head=hc, d_head=d_head, seq=t, group=g,
         scale=scale, pairwise=pairwise,
     )
     bias_block = (g, t, t) if pairwise else (g, 1, t)
-    bias_index = lambda i: (i, 0, 0)  # noqa: E731
+    bias_index = lambda i, c: (i, 0, 0)  # noqa: E731  (chunk-invariant)
     n = g * t  # rows of the in-kernel score matrix
     itemsize = jnp.dtype(qkv.dtype).itemsize
     out = pl.pallas_call(
         kernel,
-        grid=(bp // g,),
+        grid=(bp // g, n_head // hc),
         in_specs=[
-            pl.BlockSpec((g, t, 3 * d), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, t, 3 * d_head * hc), lambda i, c: (i, 0, c),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(bias_block, bias_index, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((g, t, d), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((g, t, d_head * hc), lambda i, c: (i, 0, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bp, t, d), qkv.dtype),
         cost_estimate=pl.CostEstimate(

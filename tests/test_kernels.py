@@ -121,13 +121,17 @@ def test_fused_layer_norm_bf16_io():
     np.testing.assert_allclose(out, ref, atol=2e-2)
 
 
-@pytest.mark.parametrize("b,t,h,dh,pairwise,group", [
-    (4, 16, 4, 32, False, 2),
-    (3, 16, 4, 32, False, 2),   # b not a multiple of group → padded
-    (2, 32, 2, 16, True, 1),
-    (5, 8, 3, 8, True, 2),
+@pytest.mark.parametrize("b,t,h,dh,pairwise,group,head_chunk", [
+    (4, 16, 4, 32, False, 2, None),
+    (3, 16, 4, 32, False, 2, None),  # b not a multiple of group → padded
+    (2, 32, 2, 16, True, 1, None),
+    (5, 8, 3, 8, True, 2, None),
+    (4, 16, 4, 32, False, 2, 2),     # head-chunked grid (2 chunks)
+    (3, 16, 4, 32, False, 2, 1),     # one head per grid step
+    (2, 32, 6, 16, True, 1, 3),      # chunked + pairwise bias
 ])
-def test_fused_qkv_attention_vs_jnp(b, t, h, dh, pairwise, group):
+def test_fused_qkv_attention_vs_jnp(b, t, h, dh, pairwise, group,
+                                    head_chunk):
     from bert_tpu.ops.attention import _mha_jnp
     from bert_tpu.ops.fused_attention import fused_qkv_attention
 
@@ -147,7 +151,7 @@ def test_fused_qkv_attention_vs_jnp(b, t, h, dh, pairwise, group):
 
     out = np.asarray(fused_qkv_attention(
         qkv, bias, n_head=h, d_head=dh, scale=0.3, group=group,
-        interpret=True))
+        head_chunk=head_chunk, interpret=True))
 
     # oracle: split heads the slow way, einsum attention
     q5 = np.asarray(qkv).reshape(b, t, h, 3, dh).transpose(0, 2, 3, 1, 4)
@@ -197,3 +201,27 @@ def test_fused_attn_envelope_policy():
     assert fused_attn_supported(256, 12, 32, jnp.float32)
     assert not fused_attn_supported(512, 12, 32, jnp.float32)
     assert not fused_attn_supported(256, 16, 64, jnp.float32)
+
+
+def test_pick_head_chunk_policy():
+    """Shapes outside the whole-kernel envelope must find a head-chunked
+    fused configuration (lane block % 128) instead of losing the fused
+    path entirely."""
+    import jax.numpy as jnp
+
+    from bert_tpu.ops.fused_attention import pick_head_chunk
+
+    # inside the envelope → whole kernel
+    assert pick_head_chunk(512, 12, 32, jnp.bfloat16) == 12   # MiniLM
+    assert pick_head_chunk(128, 16, 64, jnp.bfloat16) == 16   # bge short
+
+    # outside → a chunk: divisor of H with 3·dh·hc % 128 == 0
+    hc = pick_head_chunk(512, 16, 64, jnp.bfloat16)           # bge 512
+    assert hc is not None and 16 % hc == 0 and (3 * 64 * hc) % 128 == 0
+    hc = pick_head_chunk(512, 12, 64, jnp.bfloat16)           # base 512
+    assert hc is not None and 12 % hc == 0 and (3 * 64 * hc) % 128 == 0
+    hc = pick_head_chunk(512, 16, 32, jnp.bfloat16)
+    assert hc is not None and (3 * 32 * hc) % 128 == 0        # hc ∈ {4, 8}
+
+    # odd head dims with no 128-lane-aligned divisor → per-(b,h) fallback
+    assert pick_head_chunk(512, 12, 40, jnp.bfloat16) is None

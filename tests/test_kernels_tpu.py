@@ -51,20 +51,22 @@ def test_q4_matmul_compiled(ftype, m, k, n):
     (16, 128, 12, 32, False),   # MiniLM shape, padding mask [B, T]→bias
     (8, 64, 12, 64, True),      # bert-base head dim, packed [B, T, T] bias
     (4, 512, 12, 32, False),    # longest bucket
-    (4, 384, 16, 64, False),    # bge-large class (D=1024, H=16), T=384
+    (4, 512, 16, 64, False),    # bge-large longest → head-chunked grid
+    (4, 512, 12, 64, False),    # bert-base longest → head-chunked grid
     (8, 64, 16, 64, True),      # bge-large class, packed bias
 ])
 def test_fused_qkv_attention_compiled(dtype, b, t, h, dh, pairwise):
     from bert_tpu.ops.attention import _mha_jnp
     from bert_tpu.ops.fused_attention import (
-        fused_attn_supported,
         fused_qkv_attention,
+        pick_head_chunk,
     )
 
-    if not fused_attn_supported(t, h, dh, dtype):
-        pytest.skip("outside the fused kernel's measured Mosaic compile "
-                    "envelope — the model routes this shape to the "
-                    "per-(b,h) kernel (tested below)")
+    head_chunk = pick_head_chunk(t, h, dh, dtype)
+    if head_chunk is None:
+        pytest.skip("no fused configuration inside the measured Mosaic "
+                    "compile envelope — the model routes this shape to "
+                    "the per-(b,h) kernel (tested below)")
 
     d = h * dh
     qkv_f32 = RNG.standard_normal((b, t, 3 * d)).astype(np.float32)
@@ -80,7 +82,8 @@ def test_fused_qkv_attention_compiled(dtype, b, t, h, dh, pairwise):
     qkv = jnp.asarray(qkv_f32).astype(dtype)
     scale = 1.0 / dh ** 0.5
     out = np.asarray(fused_qkv_attention(
-        qkv, bias, n_head=h, d_head=dh, scale=scale).astype(jnp.float32))
+        qkv, bias, n_head=h, d_head=dh, scale=scale,
+        head_chunk=head_chunk).astype(jnp.float32))
 
     q5 = np.asarray(qkv.astype(jnp.float32)
                     ).reshape(b, t, h, 3, dh).transpose(0, 2, 3, 1, 4)
