@@ -75,7 +75,8 @@ def synth_sentences(n: int, seed: int = 0):
 
 
 def measure_model(name: str, sentences, *, trials: int,
-                  healthy_floor: float, retries: int) -> float:
+                  healthy_floor: float, retries: int,
+                  wire_dtype: str = None) -> float:
     """Best sentences/s for one model over the corpus, with tunnel-window
     retries (docs/PERF.md "Environment artifacts")."""
     from bert_tpu import BertTPU
@@ -87,8 +88,9 @@ def measure_model(name: str, sentences, *, trials: int,
         log(f"[{name}] built model file in {time.time() - t0:.1f}s "
             f"({os.path.getsize(path) / 1e6:.1f} MB)")
     t0 = time.time()
-    model = BertTPU.from_file(path, max_batch=2048)
-    log(f"[{name}] loaded in {time.time() - t0:.1f}s")
+    model = BertTPU.from_file(path, max_batch=2048, wire_dtype=wire_dtype)
+    log(f"[{name}] loaded in {time.time() - t0:.1f}s"
+        + (f" (wire {wire_dtype})" if wire_dtype else ""))
 
     t0 = time.time()
     emb = model.encode_batch(sentences)  # warm every shape (compile once)
@@ -195,6 +197,22 @@ def main() -> None:
             log(f"[{name}] sweep failed: {exc!r}")
             extra.append({"metric": f"sentences_per_sec_{name}_q4_0",
                           "error": str(exc)})
+
+    # int8 wire: the bulk-indexing deployment point — quarters the d2h
+    # bytes that dominate e2e on this box (measured STS impact: +0.006
+    # Spearman, noise-level — docs/PERF.md "wire dtype")
+    try:
+        sps = measure_model("minilm_l6", sentences, trials=3,
+                            healthy_floor=floor, retries=1,
+                            wire_dtype="int8")
+        extra.append({
+            "metric": "sentences_per_sec_minilm_l6_q4_0_int8wire",
+            "value": round(sps, 1),
+            "unit": "sentences/s",
+            "vs_baseline": round(sps / BASELINE_SENTENCES_PER_SEC, 2),
+        })
+    except Exception as exc:  # noqa: BLE001
+        log(f"int8-wire measurement failed: {exc!r}")
 
     # device-side rate (slope-timed, transfer-free): the per-chip number
     # the e2e figure approaches as d2h ceases to dominate (docs/PERF.md)
