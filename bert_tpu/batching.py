@@ -21,12 +21,16 @@ def size_bucket(n: int, minimum: int = 8) -> int:
     """Shape-bucket a row count: plain powers of two up to 64 (few shapes —
     online serving sees small, varied batches and a recompile costs far
     more than a few padded rows), eighth-of-pow2 steps above (≤12.5 %
-    padding where absolute waste matters, 8 sizes per octave)."""
+    padding where absolute waste matters, 8 sizes per octave).
+
+    ``minimum`` must be a power of two; every returned size is then a
+    multiple of it (the engine passes the DP degree so batches shard
+    evenly over the data axis — pow2-ness is validated at engine init)."""
     n = max(n, minimum)
     p = 1 << (n - 1).bit_length()  # next power of two ≥ n
     if n <= 64:
-        return p
-    return _round_up(n, max(p // 8, 1))
+        return p  # pow2 ≥ minimum ⇒ multiple of pow2 minimum
+    return _round_up(n, max(p // 8, minimum, 1))
 
 
 def default_seq_buckets(n_max_tokens: int) -> List[int]:
@@ -86,10 +90,10 @@ def plan_batch_sizes(n: int, max_batch: int, min_batch: int = 1
     Full ``max_batch`` chunks are peeled off first; the remainder is either
     padded to its :func:`size_bucket` or split on exact power-of-two
     boundaries, whichever costs fewer padded rows — e.g. with max_batch=128
-    a 65-row group runs as 64 + 8(pad from 1) = 72 padded rows, not one
-    128-row batch. Every returned size is a multiple of ``min_batch`` (the
-    DP shard divisor) as long as ``min_batch`` is a power of two
-    ≤ max_batch.
+    and min_batch=8 a 65-row group runs as 64 + 8(pad from 1) = 72 padded
+    rows, not one 128-row batch (with the default min_batch=1 the split is
+    64 + 1). Every returned size is a multiple of ``min_batch`` (the DP
+    shard divisor) as long as ``min_batch`` is a power of two ≤ max_batch.
     """
     sizes: List[int] = []
     rem = n

@@ -22,6 +22,7 @@ evaluation runs on the TPU's MXU instead of a pthread pool.
 from __future__ import annotations
 
 import functools
+import logging
 import os
 from typing import Any, Dict, List, Optional, Sequence
 
@@ -43,6 +44,9 @@ from .ops.common import round_up as _round_up
 from .packing import PackPlan, Placement, pack_batch, plan_packing
 from .params import BertConfig
 from .tokenizer import WordPieceTokenizer
+
+
+_logger = logging.getLogger(__name__)
 
 
 class BertTPU:
@@ -446,7 +450,11 @@ class BertTPU:
 
         With ``manifest`` (a path written by :meth:`save_warmup_manifest`,
         or its ``shapes`` list), warms EXACTLY the shapes a previous run of
-        this serving config executed — the minimal compile set.
+        this serving config executed — the minimal compile set. A corrupt
+        or empty manifest, or one written for a different model, falls back
+        to the default grid below (a dirty shutdown must never brick the
+        next startup); rows are re-rounded to this engine's DP degree so a
+        manifest recorded at a different ``dp`` stays shardable.
 
         Otherwise warms the bucketed (B, T) grid for the given
         ``batch_sizes`` (default: 1, 8 and max_batch — NOT every reachable
@@ -457,18 +465,15 @@ class BertTPU:
         smaller) — each against the weight tree the threshold routing will
         pick."""
         if manifest is not None:
-            shapes = manifest
-            if isinstance(manifest, (str, bytes)):
-                import json
-
-                with open(manifest, encoding="utf-8") as f:
-                    shapes = json.load(f)["shapes"]
-            first = True
-            for sh in shapes:
-                self._warm_shape(int(sh["rows"]), int(sh["seq"]),
-                                 sh.get("kind", "bucketed"), first)
-                first = False
-            return
+            shapes = self._load_manifest_shapes(manifest)
+            if shapes:
+                first = True
+                for rows, seq, kind in shapes:
+                    self._warm_shape(rows, seq, kind, first)
+                    first = False
+                return
+            _logger.warning("warmup manifest unusable or empty — "
+                            "falling back to the default grid")
         if batch_sizes is None:
             batch_sizes = sorted({self._dp,
                                   min(max(8, self._dp), self.max_batch),
@@ -491,6 +496,48 @@ class BertTPU:
             for r in row_counts:
                 self._warm_shape(r, self._pack_seq, "packed",
                                  materialize=False)
+
+    def _load_manifest_shapes(self, manifest) -> List[tuple]:
+        """Parse + validate a warmup manifest (path or ``shapes`` list) into
+        executable (rows, seq, kind) tuples for THIS engine: tolerates
+        corrupt files (truncated write on a dirty shutdown), rejects
+        manifests recorded for a different model, rounds rows up to the DP
+        degree and clamps them to max_batch. Returns [] when nothing
+        usable remains — the caller falls back to the default grid."""
+        import json
+
+        raw = manifest
+        if isinstance(manifest, (str, bytes)):
+            try:
+                with open(manifest, encoding="utf-8") as f:
+                    data = json.load(f)
+                meta = data.get("model") or {}
+                if meta and (meta.get("n_embd") != self.config.n_embd or
+                             meta.get("n_layer") != self.config.n_layer):
+                    _logger.warning(
+                        "warmup manifest %s was recorded for a different "
+                        "model (%s) — ignoring", manifest, meta)
+                    return []
+                raw = data["shapes"]
+            except (OSError, ValueError, KeyError, TypeError) as exc:
+                _logger.warning("could not read warmup manifest %s: %r",
+                                manifest, exc)
+                return []
+        shapes = set()
+        try:
+            for sh in raw:
+                rows, seq = int(sh["rows"]), int(sh["seq"])
+                kind = sh.get("kind", "bucketed")
+                if rows < 1 or seq < 1 or kind not in ("bucketed", "packed"):
+                    continue
+                # re-round to this engine's sharding/caps (the manifest may
+                # come from a run with different dp/max_batch)
+                rows = min(_round_up(rows, self._dp), self.max_batch)
+                shapes.add((rows, seq, kind))
+        except (TypeError, KeyError, ValueError) as exc:
+            _logger.warning("malformed warmup manifest shapes: %r", exc)
+            return []
+        return sorted(shapes)
 
     def seen_shapes(self) -> List[Dict[str, Any]]:
         """The (rows, seq) shapes this engine has actually executed
@@ -517,9 +564,12 @@ class BertTPU:
                     for s in json.load(f)["shapes"]:
                         shapes.add((int(s["rows"]), int(s["seq"]),
                                     s.get("kind", "bucketed")))
-            except (ValueError, KeyError):
+            except (ValueError, KeyError, TypeError):
                 pass  # corrupt manifest: rewrite from scratch
-        with open(path, "w", encoding="utf-8") as f:
+        # atomic write (tmp + rename): a crash mid-dump must never leave a
+        # truncated manifest for the next startup to choke on
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as f:
             json.dump({
                 "version": 1,
                 "model": {"n_embd": self.config.n_embd,
@@ -527,3 +577,4 @@ class BertTPU:
                 "shapes": [{"rows": r, "seq": s, "kind": k}
                            for r, s, k in sorted(shapes)],
             }, f, indent=1)
+        os.replace(tmp, path)

@@ -106,7 +106,17 @@ def sharded_jit(mesh, local_fn, *, n_batch_args: int, out_spec,
         fwd = shard_map(local_fn, check_vma=False, **kwargs)
     except TypeError:  # older jax: the kwarg is check_rep
         fwd = shard_map(local_fn, check_rep=False, **kwargs)
-    return jax.jit(fwd)
+    jitted = jax.jit(fwd)
+
+    def wrapped(params, *batch_args):
+        # friendly error instead of shard_map's raw divisibility failure
+        # (the engine's planner emits dp-multiples by construction; this
+        # guards direct library users)
+        if batch_args:
+            _local_batch_check(mesh, dp_axis, batch_args[0].shape[0])
+        return jitted(params, *batch_args)
+
+    return wrapped
 
 
 def make_sharded_encode_fn(

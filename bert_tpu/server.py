@@ -104,7 +104,15 @@ class BatchingScheduler:
         futs = [loop.create_future() for _ in payloads]
         for p, f in zip(payloads, futs):
             await self.queue.put((p, f))
-        return list(await asyncio.gather(*futs))
+        # return_exceptions so every sibling future is retrieved even when
+        # one micro-batch fails (otherwise each unretrieved exception logs
+        # a 'Future exception was never retrieved' warning); re-raise the
+        # first failure for the caller.
+        results = await asyncio.gather(*futs, return_exceptions=True)
+        for r in results:
+            if isinstance(r, BaseException):
+                raise r
+        return list(results)
 
     def start(self) -> None:
         self._task = asyncio.get_running_loop().create_task(self._run())
@@ -210,14 +218,20 @@ class EmbeddingServer:
             buf.extend(more)
         return True
 
-    def _read_token_list(self, buf: bytearray, off: int):
-        """Parse one (i32 n_tokens, ids) record at ``off``; returns
-        (ids, new_off) or raises ValueError on an invalid count. The caller
-        guarantees the bytes are present."""
+    def _peek_n_tokens(self, buf: bytearray, off: int) -> int:
+        """Read + validate the i32 token count at ``off`` (the ONE range
+        rule for every framed token record); raises ValueError."""
         (n_tok,) = struct.unpack_from("<i", buf, off)
         if not 0 <= n_tok <= self.model.n_max_tokens:
             raise ValueError(f"framed eval n_tokens={n_tok} out of range "
                              f"(max {self.model.n_max_tokens})")
+        return n_tok
+
+    def _read_token_list(self, buf: bytearray, off: int):
+        """Parse one (i32 n_tokens, ids) record at ``off``; returns
+        (ids, new_off) or raises ValueError on an invalid count. The caller
+        guarantees the bytes are present."""
+        n_tok = self._peek_n_tokens(buf, off)
         ids = np.frombuffer(bytes(buf[off + 4: off + 4 + 4 * n_tok]),
                             dtype="<i4").tolist()
         return ids, off + 4 + 4 * n_tok
@@ -246,15 +260,15 @@ class EmbeddingServer:
         if magic == BIN_EVAL_MAGIC:
             if not await self._fill(reader, buf, 8):
                 return False
-            (n_tok,) = struct.unpack_from("<i", buf, 4)
-            if not 0 <= n_tok <= self.model.n_max_tokens:
-                logger.warning("rejecting framed eval with n_tokens=%d "
-                               "(max %d)", n_tok, self.model.n_max_tokens)
+            try:
+                n_tok = self._peek_n_tokens(buf, 4)
+            except ValueError as exc:
+                logger.warning("rejecting framed eval: %s", exc)
                 return False
             need = 8 + 4 * n_tok
             if not await self._fill(reader, buf, need):
                 return False
-            ids = np.frombuffer(bytes(buf[8:need]), dtype="<i4").tolist()
+            ids, _ = self._read_token_list(buf, 4)
             del buf[:need]
             emb = await self.scheduler.submit_tokens(ids)
             writer.write(np.asarray(emb, dtype="<f4").tobytes())
@@ -274,9 +288,7 @@ class EmbeddingServer:
                 for _ in range(n_sent):
                     if not await self._fill(reader, buf, off + 4):
                         return False
-                    (n_tok,) = struct.unpack_from("<i", buf, off)
-                    if not 0 <= n_tok <= self.model.n_max_tokens:
-                        raise ValueError(f"n_tokens={n_tok}")
+                    n_tok = self._peek_n_tokens(buf, off)
                     if not await self._fill(reader, buf, off + 4 + 4 * n_tok):
                         return False
                     ids, off = self._read_token_list(buf, off)
@@ -338,6 +350,11 @@ class EmbeddingServer:
                 await writer.drain()
         except (ConnectionResetError, asyncio.IncompleteReadError):
             pass
+        except Exception:  # eval failure (device error, bad batch, ...)
+            # close THIS connection with a log instead of leaking an
+            # unhandled-task traceback; other clients are unaffected
+            logger.exception("closing connection %s after failed request",
+                             peer)
         finally:
             writer.close()
             logger.info("client disconnected: %s", peer)

@@ -77,3 +77,28 @@ def test_plan_buckets_respects_min_batch():
     for _, batch_b, _ in plan.groups:
         assert batch_b % 8 == 0
     assert [g[1] for g in plan.groups] == [64, 8]
+
+
+def test_min_batch_divisibility_large_dp():
+    """Review finding (r2): every planned batch size must be a multiple of
+    min_batch for ANY pow2 min_batch (the DP degree) — dp=32/64 included.
+    The old size_bucket granularity (p//8) broke this above 64 rows."""
+    for min_batch in (1, 2, 4, 8, 16, 32, 64):
+        for n in list(range(1, 200)) + [256, 300, 511, 1000]:
+            for max_batch in (128, 256):
+                if max_batch % min_batch:
+                    continue
+                sizes = plan_batch_sizes(n, max_batch, min_batch)
+                assert sum(sizes) >= n
+                for s in sizes:
+                    assert s % min_batch == 0, (n, max_batch, min_batch,
+                                                sizes)
+    # the reproduced cases
+    assert all(s % 32 == 0 for s in plan_batch_sizes(80, 128, 32))
+    assert all(s % 64 == 0 for s in plan_batch_sizes(100, 128, 64))
+
+
+def test_size_bucket_respects_minimum_above_64():
+    assert size_bucket(80, minimum=32) % 32 == 0
+    assert size_bucket(100, minimum=64) % 64 == 0
+    assert size_bucket(65, minimum=8) == 80  # unchanged small-min behavior

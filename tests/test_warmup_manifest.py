@@ -156,3 +156,72 @@ def test_server_flag_writes_manifest(tmp_path):
     with open(manifest, encoding="utf-8") as f:
         data = json.load(f)
     assert data["shapes"], data
+
+
+def test_corrupt_or_mismatched_manifest_falls_back(tmp_path):
+    """Review findings (r2): a truncated manifest, a wrong-model manifest,
+    or an empty one must fall back to the default warmup grid — never
+    crash startup or skip warmup entirely."""
+    eng = _engine()
+
+    # truncated/corrupt file
+    path = str(tmp_path / "bad.json")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write('{"shapes": [{"rows": 4,')
+    eng.warmup(manifest=path)  # must not raise; runs the default grid
+
+    # different model
+    path2 = str(tmp_path / "other_model.json")
+    with open(path2, "w", encoding="utf-8") as f:
+        json.dump({"model": {"n_embd": 999, "n_layer": 1},
+                   "shapes": [{"rows": 4, "seq": 16, "kind": "bucketed"}]},
+                  f)
+    assert eng._load_manifest_shapes(path2) == []
+
+    # empty shapes
+    path3 = str(tmp_path / "empty.json")
+    with open(path3, "w", encoding="utf-8") as f:
+        json.dump({"version": 1, "shapes": []}, f)
+    assert eng._load_manifest_shapes(path3) == []
+    eng.warmup(manifest=path3)  # falls back, still warms
+
+
+def test_manifest_rows_rerounded_to_dp(tmp_path):
+    """A manifest recorded at dp=1 must stay shardable at dp=2: rows are
+    rounded up to the engine's DP degree and clamped to max_batch."""
+    import jax
+
+    from bert_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 2:
+        import pytest
+
+        pytest.skip("needs >= 2 devices")
+    vocab = build_fixture_vocab()
+    cfg = BertConfig(n_vocab=len(vocab), n_max_tokens=64, n_embd=64,
+                     n_intermediate=128, n_head=4, n_layer=2)
+    loaded = LoadedModel(
+        config=cfg,
+        params=params_from_named_tensors(random_named_tensors(cfg, 11), cfg),
+        vocab=vocab,
+    )
+    eng = BertTPU(loaded, max_batch=16, mesh=make_mesh(2, tp=1))
+    shapes = eng._load_manifest_shapes([
+        {"rows": 1, "seq": 16, "kind": "bucketed"},
+        {"rows": 3, "seq": 64, "kind": "packed"},
+        {"rows": 999, "seq": 16, "kind": "bucketed"},  # clamped
+    ])
+    assert all(r % 2 == 0 and r <= 16 for r, _, _ in shapes), shapes
+    eng.warmup(manifest=shapes)  # executes under the mesh without error
+
+
+def test_atomic_manifest_write(tmp_path):
+    """save_warmup_manifest writes via tmp+rename — no partial files left."""
+    eng = _engine()
+    eng.encode_batch(["hello world"])
+    path = str(tmp_path / "m.json")
+    eng.save_warmup_manifest(path)
+    leftovers = [p for p in os.listdir(tmp_path) if p.startswith("m.json.")]
+    assert leftovers == []
+    with open(path, encoding="utf-8") as f:
+        assert json.load(f)["shapes"]
