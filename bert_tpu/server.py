@@ -441,7 +441,12 @@ def main(argv=None) -> None:
         if args.warmup_manifest:
             # record the shapes this run actually executed so the next
             # start compiles exactly those (merged with any prior runs)
-            model.save_warmup_manifest(args.warmup_manifest)
+            try:
+                model.save_warmup_manifest(args.warmup_manifest)
+            except OSError as exc:  # unwritable path must not mask shutdown
+                logging.getLogger("bert_tpu.server").warning(
+                    "could not write warmup manifest %s: %r",
+                    args.warmup_manifest, exc)
 
 
 if __name__ == "__main__":
