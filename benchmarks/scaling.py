@@ -86,6 +86,15 @@ def main() -> None:
     n_dev = len(jax.devices())
     rng = np.random.default_rng(0)
     base_rate = None
+
+    if args.multihost:
+        # Multi-process runs measure the sharded DEVICE path (the engine is
+        # a single-process object; production multi-host DP serving runs
+        # one engine per host anyway — this harness measures how the
+        # sharded forward itself scales when the data axis spans DCN).
+        _multihost_sweep(args, loaded, rng)
+        return
+
     for dp in args.dp_list:
         if dp * args.tp > n_dev:
             print(json.dumps({"dp": dp, "skipped":
@@ -116,6 +125,52 @@ def main() -> None:
             "sentences_per_sec": round(best, 1),
             "per_device": round(per_dev, 1),
             "efficiency": round(per_dev / base_rate, 3),
+        }), flush=True)
+
+
+def _multihost_sweep(args, loaded, rng) -> None:
+    """Weak-scaling of the sharded forward over a multi-process global
+    mesh: every process feeds its local batch slice
+    (host_local_batch_to_global), the data axis spans DCN, TP (if any)
+    stays inside each process's devices. Run the SAME command on every
+    process (see module docstring); process 0 prints the JSON."""
+    import jax
+    import numpy as np
+
+    from bert_tpu.parallel.multihost import (
+        global_mesh,
+        host_local_batch_to_global,
+    )
+    from bert_tpu.parallel.spmd import make_sharded_encode_fn, shard_params
+
+    config = loaded.config
+    mesh = global_mesh(tp=args.tp)
+    dp = mesh.shape["data"]
+    sp = shard_params(mesh, loaded.params)
+    encode = make_sharded_encode_fn(mesh, config)
+
+    t = 32
+    n_local = args.per_device * (dp // jax.process_count())
+    ids_l = rng.integers(0, config.n_vocab,
+                         size=(n_local, t)).astype(np.int32)
+    mask_l = np.ones((n_local, t), np.float32)
+    ids_g, mask_g = host_local_batch_to_global(mesh, ids_l, mask_l)
+    n_global = n_local * jax.process_count()
+
+    encode(sp, ids_g, mask_g).block_until_ready()  # compile + warm
+    best = 0.0
+    for _ in range(args.trials):
+        t0 = time.time()
+        encode(sp, ids_g, mask_g).block_until_ready()
+        dt = time.time() - t0
+        best = max(best, n_global / dt)
+    if jax.process_index() == 0:
+        print(json.dumps({
+            "multihost": True, "processes": jax.process_count(),
+            "dp": int(dp), "tp": args.tp, "seq": t,
+            "n_sentences": int(n_global),
+            "sentences_per_sec": round(best, 1),
+            "per_device": round(best / dp, 1),
         }), flush=True)
 
 
