@@ -213,6 +213,8 @@ def main() -> None:
         })
     except Exception as exc:  # noqa: BLE001
         log(f"int8-wire measurement failed: {exc!r}")
+        extra.append({"metric": "sentences_per_sec_minilm_l6_q4_0_int8wire",
+                      "error": str(exc)})
 
     # device-side rate (slope-timed, transfer-free): the per-chip number
     # the e2e figure approaches as d2h ceases to dominate (docs/PERF.md)
@@ -226,6 +228,9 @@ def main() -> None:
         })
     except Exception as exc:  # noqa: BLE001
         log(f"device-side measurement failed: {exc!r}")
+        extra.append({
+            "metric": "device_side_sentences_per_sec_minilm_l6_q4_0",
+            "error": str(exc)})
 
     print(json.dumps({
         "metric": "sentences_per_sec_minilm_l6_q4_0",

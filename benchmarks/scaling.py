@@ -157,11 +157,18 @@ def _multihost_sweep(args, loaded, rng) -> None:
     ids_g, mask_g = host_local_batch_to_global(mesh, ids_l, mask_l)
     n_global = n_local * jax.process_count()
 
+    from jax.experimental import multihost_utils
+
     encode(sp, ids_g, mask_g).block_until_ready()  # compile + warm
     best = 0.0
-    for _ in range(args.trials):
+    for i in range(args.trials):
+        # barrier both sides: block_until_ready only waits on THIS
+        # process's shards; without the closing barrier a slow host would
+        # be invisible and efficiency would read ~100% unconditionally
+        multihost_utils.sync_global_devices(f"soak_trial_{i}_start")
         t0 = time.time()
         encode(sp, ids_g, mask_g).block_until_ready()
+        multihost_utils.sync_global_devices(f"soak_trial_{i}_end")
         dt = time.time() - t0
         best = max(best, n_global / dt)
     if jax.process_index() == 0:

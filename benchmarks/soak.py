@@ -70,6 +70,8 @@ def wait_up(host, port, proc=None, timeout=900):
                 print(proc.stdout.read()[-2000:], file=sys.stderr)
                 raise SystemExit("server died during startup")
             time.sleep(0.5)
+    if proc is not None:  # don't orphan a server holding the TPU + port
+        proc.terminate()
     raise SystemExit("server never came up")
 
 
@@ -99,6 +101,15 @@ def main() -> None:
         proc = spawn_server(args)
     n_embd, up = wait_up(host, port, proc)
     print(f"server up in {up:.1f}s (n_embd={n_embd})", flush=True)
+    if proc is not None:
+        # drain the server's pipe for the rest of the run: a verbose
+        # failure mode (per-connection tracebacks) would otherwise fill
+        # the ~64 KB pipe buffer and block the server on a log write
+        def _drain():
+            for _ in proc.stdout:
+                pass
+
+        threading.Thread(target=_drain, daemon=True).start()
 
     stop = threading.Event()
     n_total = args.clients + args.batch_clients
@@ -149,7 +160,10 @@ def main() -> None:
     time.sleep(args.seconds)
     stop.set()
     for t in threads:
-        t.join(timeout=30)
+        # no timeout: clients are bounded by their 120 s socket timeout,
+        # and counts must be frozen before we snapshot them (a straggler
+        # incrementing after sum() would desync the report from STATS)
+        t.join()
 
     total = sum(counts)
     c = socket.create_connection((host, port), timeout=30)

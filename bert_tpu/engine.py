@@ -472,8 +472,11 @@ class BertTPU:
                     self._warm_shape(rows, seq, kind, first)
                     first = False
                 return
+            # fall through to the grid below — which honors the caller's
+            # batch_sizes/max_rows, so a server passing its serving grid
+            # gets ITS shapes warmed, not the library default
             _logger.warning("warmup manifest unusable or empty — "
-                            "falling back to the default grid")
+                            "falling back to the grid")
         if batch_sizes is None:
             batch_sizes = sorted({self._dp,
                                   min(max(8, self._dp), self.max_batch),
@@ -528,7 +531,12 @@ class BertTPU:
             for sh in raw:
                 rows, seq = int(sh["rows"]), int(sh["seq"])
                 kind = sh.get("kind", "bucketed")
-                if rows < 1 or seq < 1 or kind not in ("bucketed", "packed"):
+                if rows < 1 or kind not in ("bucketed", "packed"):
+                    continue
+                if not 1 <= seq <= self.config.n_max_tokens:
+                    # corrupt value or a same-architecture engine with a
+                    # larger n_max_tokens: warming it would compile an
+                    # impossible shape (possibly OOM) at startup
                     continue
                 # re-round to this engine's sharding/caps (the manifest may
                 # come from a run with different dp/max_batch)

@@ -82,6 +82,17 @@ def _local_batch_check(mesh, dp_axis: str, batch: int) -> None:
         )
 
 
+def _with_batch_check(mesh, dp_axis: str, jitted):
+    """Wrap a jitted (params, *batch_arrays) callable with a friendly
+    batch-divisibility error instead of shard_map's raw failure."""
+    def wrapped(params, *batch_args):
+        if batch_args:
+            _local_batch_check(mesh, dp_axis, batch_args[0].shape[0])
+        return jitted(params, *batch_args)
+
+    return wrapped
+
+
 def sharded_jit(mesh, local_fn, *, n_batch_args: int, out_spec,
                 params_example, dp_axis: str = DATA_AXIS,
                 tp_axis: Optional[str] = MODEL_AXIS):
@@ -106,17 +117,10 @@ def sharded_jit(mesh, local_fn, *, n_batch_args: int, out_spec,
         fwd = shard_map(local_fn, check_vma=False, **kwargs)
     except TypeError:  # older jax: the kwarg is check_rep
         fwd = shard_map(local_fn, check_rep=False, **kwargs)
-    jitted = jax.jit(fwd)
-
-    def wrapped(params, *batch_args):
-        # friendly error instead of shard_map's raw divisibility failure
-        # (the engine's planner emits dp-multiples by construction; this
-        # guards direct library users)
-        if batch_args:
-            _local_batch_check(mesh, dp_axis, batch_args[0].shape[0])
-        return jitted(params, *batch_args)
-
-    return wrapped
+    # friendly error instead of shard_map's raw divisibility failure (the
+    # engine's planner emits dp-multiples by construction; this guards
+    # direct library users)
+    return _with_batch_check(mesh, dp_axis, jax.jit(fwd))
 
 
 def make_sharded_encode_fn(
@@ -160,4 +164,4 @@ def make_sharded_encode_fn(
         fwd = shard_map(local_fwd, check_vma=False, **kwargs)
     except TypeError:  # older jax: the kwarg is check_rep
         fwd = shard_map(local_fwd, check_rep=False, **kwargs)
-    return jax.jit(fwd)
+    return _with_batch_check(mesh, dp_axis, jax.jit(fwd))

@@ -413,7 +413,11 @@ def main(argv=None) -> None:
         if args.warmup_manifest and _os.path.exists(args.warmup_manifest):
             print(f"warming shapes from {args.warmup_manifest} ...",
                   flush=True)
-            model.warmup(manifest=args.warmup_manifest)
+            # serving grid doubles as the fallback if the manifest is
+            # unusable (corrupt / wrong model / empty)
+            model.warmup(batch_sizes=[1, 8, args.max_batch],
+                         max_rows=args.max_batch,
+                         manifest=args.warmup_manifest)
         else:
             print("warming up bucket shapes ...", flush=True)
             # rows never exceed the scheduler's per-batch sentence cap

@@ -185,6 +185,13 @@ def test_corrupt_or_mismatched_manifest_falls_back(tmp_path):
     assert eng._load_manifest_shapes(path3) == []
     eng.warmup(manifest=path3)  # falls back, still warms
 
+    # corrupt-but-parseable seq (or a bigger-n_max_tokens sibling model):
+    # must be dropped, not compiled (engine n_max_tokens is 64)
+    assert eng._load_manifest_shapes([
+        {"rows": 8, "seq": 100000, "kind": "bucketed"},
+        {"rows": 8, "seq": 0, "kind": "packed"},
+    ]) == []
+
 
 def test_manifest_rows_rerounded_to_dp(tmp_path):
     """A manifest recorded at dp=1 must stay shardable at dp=2: rows are
@@ -211,8 +218,13 @@ def test_manifest_rows_rerounded_to_dp(tmp_path):
         {"rows": 3, "seq": 64, "kind": "packed"},
         {"rows": 999, "seq": 16, "kind": "bucketed"},  # clamped
     ])
+    assert shapes, "re-rounded shapes must survive validation"
     assert all(r % 2 == 0 and r <= 16 for r, _, _ in shapes), shapes
-    eng.warmup(manifest=shapes)  # executes under the mesh without error
+    # round-trip through the dict form warmup(manifest=...) consumes —
+    # passing tuples would be silently rejected as malformed
+    dict_shapes = [{"rows": r, "seq": s, "kind": k} for r, s, k in shapes]
+    assert eng._load_manifest_shapes(dict_shapes) == shapes
+    eng.warmup(manifest=dict_shapes)  # executes under the mesh
 
 
 def test_atomic_manifest_write(tmp_path):
