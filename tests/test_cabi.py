@@ -186,9 +186,13 @@ def test_eval_batch_framed_64(libbert, ctx):
     id_arrays, lens = _tokenize_many(libbert, ctx, texts)
 
     arr = _eval_batch(libbert, ctx, id_arrays, lens)  # warm compile
-    t0 = time.perf_counter()
-    arr = _eval_batch(libbert, ctx, id_arrays, lens)
-    t_batch = time.perf_counter() - t0
+    # best of 3: a single CPU-contention hiccup (parallel test runs on a
+    # loaded box) must not flip the comparison below
+    t_batch = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        arr = _eval_batch(libbert, ctx, id_arrays, lens)
+        t_batch = min(t_batch, time.perf_counter() - t0)
 
     # serial reference path for the first few + timing over all 64
     out = (ctypes.c_float * 64)()
