@@ -171,9 +171,12 @@ def main() -> None:
     logging.disable(logging.WARNING)  # silence per-token unknown warnings
 
     sentences = synth_sentences(N_SENTENCES)
-    # The "healthy" floor is for THIS tunneled box (healthy runs measure
-    # 17-21k on MiniLM-L6); override for other environments via env.
-    floor = float(os.environ.get("BENCH_HEALTHY_FLOOR", "8000"))
+    # The "healthy" floor is for THIS tunneled box: healthy runs measure
+    # 17-21k on MiniLM-L6, degraded-tunnel windows ~11k (observed: L6
+    # "slower" than L12 in the same sweep — clearly environmental). Below
+    # the floor the run retries after 90 s, up to the retry cap, then
+    # reports the best anyway. Override via env for other environments.
+    floor = float(os.environ.get("BENCH_HEALTHY_FLOOR", "14000"))
 
     best = measure_model("minilm_l6", sentences, trials=5,
                          healthy_floor=floor, retries=2)
