@@ -154,9 +154,13 @@ def fused_attn_supported(seq: int, n_head: int, d_head: int, dtype) -> bool:
     if jnp.dtype(dtype) == jnp.float32:
         # full-precision passes roughly double the working set: shift the
         # envelope one bucket down (MiniLM measured OK at T=256, and the
-        # T=512 f32 fused case measured 22.2 MB of scoped VMEM)
+        # T=512 f32 fused case measured 22.2 MB of scoped VMEM). The third
+        # row is the head-chunked long-T regime: chunks of ≤4 heads /
+        # ≤128 lanes compile in 1-3 s and match the oracle to ~3e-7 at
+        # every T ≤ 512 probed (512/H12/dh32 hc4, 512/H16/dh64 hc2, ...)
         return (seq <= 128 and d <= 512 and n_head <= 16) or \
-               (seq <= 256 and d <= 384 and n_head <= 12)
+               (seq <= 256 and d <= 384 and n_head <= 12) or \
+               (seq <= 512 and d <= 128 and n_head <= 4)
     if seq <= 128:
         return d <= 1536 and n_head <= 24
     if seq <= 256:

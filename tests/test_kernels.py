@@ -202,6 +202,14 @@ def test_fused_attn_envelope_policy():
     assert not fused_attn_supported(512, 12, 32, jnp.float32)
     assert not fused_attn_supported(256, 16, 64, jnp.float32)
 
+    # ... but f32 long-T recovers the fused path via head chunking
+    # (measured on-chip: compiles in 1-3 s, oracle match ~3e-7)
+    from bert_tpu.ops.fused_attention import pick_head_chunk
+
+    assert pick_head_chunk(512, 12, 32, jnp.float32) == 4   # MiniLM 512
+    assert pick_head_chunk(512, 12, 64, jnp.float32) == 2   # bert-base 512
+    assert pick_head_chunk(512, 16, 64, jnp.float32) == 2   # bge-large 512
+
 
 def test_pick_head_chunk_policy():
     """Shapes outside the whole-kernel envelope must find a head-chunked

@@ -166,7 +166,8 @@ def test_model_forward_pallas_vs_xla_compiled():
     assert np.all(cos > 0.9999), cos.min()
     np.testing.assert_allclose(a, b, atol=5e-3)
 
-    # longest bucket at f32: routes to the per-(b,h) kernel (VMEM policy)
+    # longest bucket at f32: routes to the head-chunked fused kernel
+    # (pick_head_chunk(512, 12, 32, f32) == 4)
     cfg512 = BertConfig(**{**cfg.__dict__, "n_max_tokens": 512})
     params512 = params_from_named_tensors(
         random_named_tensors(cfg512, seed=2), cfg512, quantize_ftype=2)
