@@ -37,6 +37,16 @@ def add_common_args(ap: argparse.ArgumentParser) -> None:
 
 
 def load_model_from_args(args):
+    import os
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the env var alone does NOT override an installed TPU plugin
+        # (e.g. axon on PYTHONPATH): a user/test asking for cpu would
+        # silently run on the TPU. Honor the request explicitly.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from .engine import BertTPU
