@@ -39,13 +39,16 @@ def add_common_args(ap: argparse.ArgumentParser) -> None:
 def load_model_from_args(args):
     import os
 
-    if os.environ.get("JAX_PLATFORMS") == "cpu":
+    platforms = os.environ.get("JAX_PLATFORMS", "").lower()
+    if platforms.split(",")[0].strip() == "cpu":
         # the env var alone does NOT override an installed TPU plugin
         # (e.g. axon on PYTHONPATH): a user/test asking for cpu would
-        # silently run on the TPU. Honor the request explicitly.
+        # silently run on the TPU. Honor the request explicitly —
+        # case-insensitively, and for priority lists ("cpu,tpu") too,
+        # keeping the full list so later platforms stay available.
         import jax
 
-        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_platforms", platforms)
 
     import jax.numpy as jnp
 

@@ -280,6 +280,15 @@ class BertTPU:
         """
         n = len(token_lists)
         out = np.empty((n, self.config.n_embd), dtype=np.float32)
+        pending = self._dispatch_all(token_lists)
+        self._gather_pending(pending, out)
+        self.timers.sentences += n
+        return out
+
+    def _dispatch_all(self, token_lists: Sequence[Sequence[int]]) -> list:
+        """Route + dispatch every input asynchronously; returns the pending
+        (original-index array, device rows, n_valid) entries."""
+        n = len(token_lists)
         lengths = [len(t) for t in token_lists]
 
         # Routing: short sentences go through the packed path (several per
@@ -344,6 +353,11 @@ class BertTPU:
                     emb.copy_to_host_async()
                     self.timers.record_bucket(batch_b, seq_b)
                     pending.append((np.asarray(idxs), emb, len(idxs)))
+        return pending
+
+    def _gather_pending(self, pending: list, out: np.ndarray) -> None:
+        """Materialize dispatched results into ``out`` rows (device buffers
+        are released as each batch lands)."""
         with self.timers.phase("gather"):
             for idxs, emb, n_valid in pending:
                 out[idxs] = np.asarray(emb, dtype=np.float32)[:n_valid]
@@ -352,8 +366,62 @@ class BertTPU:
             # are unit-norm by construction, bert.cpp:911-913 semantics)
             norms = np.linalg.norm(out, axis=-1, keepdims=True)
             np.divide(out, np.maximum(norms, 1e-12), out=out)
-        self.timers.sentences += n
+
+    # -- streaming corpus-scale evaluation (VERDICT r2 #3) -------------------
+    def eval_tokens_iter(self, token_lists: Sequence[Sequence[int]],
+                         window: int = 4096):
+        """Embed an arbitrarily large pre-tokenized corpus with BOUNDED
+        memory: yields [≤window, n_embd] f32 blocks in input order.
+
+        At most TWO windows are in flight — window i+1 is dispatched before
+        window i is gathered, so the TPU computes ahead while the host
+        materializes results (the same overlap :meth:`eval_tokens` gets
+        from async dispatch, without holding every device buffer and the
+        full [n, D] host array live at once). This is the corpus-indexing
+        workload the reference handles with an O(1)-memory per-sentence
+        loop (bert.cpp:1014-1020); here the window keeps throughput at the
+        bulk rate while bounding residency to O(window).
+        """
+        n = len(token_lists)
+        if window < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
+        starts = list(range(0, n, window))
+        prev = None  # (start, end, pending)
+        for s in starts:
+            e = min(n, s + window)
+            pending = self._dispatch_all(token_lists[s:e])
+            if prev is not None:
+                yield self._materialize_window(prev)
+            prev = (s, e, pending)
+        if prev is not None:
+            yield self._materialize_window(prev)
+
+    def _materialize_window(self, item) -> np.ndarray:
+        s, e, pending = item
+        out = np.empty((e - s, self.config.n_embd), dtype=np.float32)
+        self._gather_pending(pending, out)
+        self.timers.sentences += e - s
         return out
+
+    def encode_iter(self, texts: Sequence[str], window: int = 4096):
+        """Streaming :meth:`encode_batch`: tokenize AND embed one window at
+        a time, yielding [≤window, n_embd] blocks in input order — O(window)
+        host memory for any corpus size."""
+        n = len(texts)
+        if window < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
+        prev = None
+        for s in range(0, n, window):
+            e = min(n, s + window)
+            with self.timers.phase("tokenize"):
+                toks = self.tokenizer.tokenize_batch(
+                    texts[s:e], self.config.n_max_tokens)
+            pending = self._dispatch_all(toks)
+            if prev is not None:
+                yield self._materialize_window(prev)
+            prev = (s, e, pending)
+        if prev is not None:
+            yield self._materialize_window(prev)
 
     def _dispatch_packed(self, token_lists, idxs, plan=None):
         """Pack short sentences into fixed (rows, pack_seq) batches and
@@ -539,8 +607,15 @@ class BertTPU:
                     # impossible shape (possibly OOM) at startup
                     continue
                 # re-round to this engine's sharding/caps (the manifest may
-                # come from a run with different dp/max_batch)
+                # come from a run with different dp/max_batch), and snap seq
+                # to THIS config's shape set: a manifest recorded under
+                # different seq_buckets/pack_seq would otherwise warm shapes
+                # serving never executes while the needed ones stay cold
                 rows = min(_round_up(rows, self._dp), self.max_batch)
+                if kind == "packed":
+                    seq = self._pack_seq
+                else:
+                    seq = pick_bucket(seq, self.seq_buckets)
                 shapes.add((rows, seq, kind))
         except (TypeError, KeyError, ValueError) as exc:
             _logger.warning("malformed warmup manifest shapes: %r", exc)

@@ -308,9 +308,22 @@ bool query_meta(bert_ctx *ctx) {
     if (std::memcmp(head, kBinMetaMagic, 4) == 0) {
         int32_t meta[3];  // version, n_embd, n_max_tokens
         if (!recv_all(ctx->fd, meta, 12)) return false;
-        if (meta[1] > 0) ctx->hp.n_embd = meta[1];
-        if (meta[2] > 0) ctx->hp.n_max_tokens = meta[2];
-        ctx->framed_ok = true;
+        // Secondary validation: a reference embedding whose first float
+        // happens to equal the magic bytes would desync the stream if we
+        // trusted the 4-byte match alone. A real META reply must carry a
+        // known version and echo the handshake's n_embd; anything else is
+        // treated as an embedding and the remainder drained below.
+        if (meta[0] == 1 && meta[1] == ctx->hp.n_embd && meta[2] > 0) {
+            ctx->hp.n_max_tokens = meta[2];
+            ctx->framed_ok = true;
+            return true;
+        }
+        size_t rest = sizeof(float) * static_cast<size_t>(ctx->hp.n_embd);
+        if (rest > 16) {  // 16 bytes (magic + meta) already consumed
+            std::vector<char> scratch(rest - 16);
+            if (!recv_all(ctx->fd, scratch.data(), rest - 16)) return false;
+        }
+        ctx->framed_ok = false;
         return true;
     }
     // reference peer: drain the rest of the embedding it sent back

@@ -181,6 +181,35 @@ def test_framed_batch_single_round_trip(model):
     np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
+def test_framed_zero_token_record(model):
+    """A framed record with n_tokens=0 is VALID (the C API clamps negative
+    counts to 0, csrc/bert_client.cpp clamp_tokens) and must embed as a
+    deterministic zero vector via the packed path's empty-segment fallback —
+    without failing the batch or its sibling records. Pins the behavior
+    ADVICE r2 flagged as regressable."""
+    from bert_tpu.server import BIN_BATCH_MAGIC
+
+    real = model.tokenize("the store")
+
+    async def scenario(server, port):
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        (n_embd,) = struct.unpack("<i", await reader.readexactly(4))
+        msg = BIN_BATCH_MAGIC + struct.pack("<i", 3)
+        msg += struct.pack("<i", 0)  # empty record
+        msg += struct.pack("<i", len(real)) + np.asarray(real, "<i4").tobytes()
+        msg += struct.pack("<i", 0)  # empty record
+        writer.write(msg)
+        await writer.drain()
+        raw = await reader.readexactly(n_embd * 4 * 3)
+        writer.close()
+        await writer.wait_closed()
+        return np.frombuffer(raw, "<f4").reshape(3, n_embd)
+
+    out = _run_with_server(model, scenario)
+    assert np.allclose(out[0], 0.0) and np.allclose(out[2], 0.0)
+    np.testing.assert_allclose(out[1], model.encode("the store"), atol=1e-5)
+
+
 def test_framed_meta_and_stats(model):
     from bert_tpu.server import (
         BIN_META_MAGIC,
