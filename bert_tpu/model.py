@@ -132,7 +132,8 @@ def encoder_layer(
     # QKV-attention kernel that never leaves the [B, T, lanes] layout wins;
     # at long T the per-(batch, head) flash-style kernel keeps the [T, T]
     # tile in VMEM. The jnp einsum path is the CPU/oracle fallback.
-    head_chunk = pick_head_chunk(t, hl, dh, qkv.dtype)
+    head_chunk = pick_head_chunk(t, hl, dh, qkv.dtype,
+                                 pairwise=mask_bias.ndim == 3)
     fused_short = (head_chunk is not None and use_pallas is not False
                    and jax.default_backend() == "tpu")
     if fused_short:

@@ -110,28 +110,46 @@ def pick_group(n_head: int, seq: int, target: int = 128) -> int:
     return max(1, target // seq)
 
 
-def pick_head_chunk(seq: int, n_head: int, d_head: int, dtype) -> Optional[int]:
+def pick_head_chunk(seq: int, n_head: int, d_head: int, dtype,
+                    pairwise: bool = False) -> Optional[int]:
     """Heads per kernel invocation. ``n_head`` (whole kernel, the fast
-    path) when the full shape is inside the measured Mosaic envelope;
+    path) when the full shape is inside the Mosaic compile envelope;
     otherwise the largest divisor of ``n_head`` whose lane-block width
     (3·d_head·chunk) is a multiple of 128 and whose per-chunk shape fits
     the envelope — the kernel then grids over head chunks, with the
     BlockSpec slicing each chunk's lanes (so per-step VMEM and compile
     size scale with the chunk, not the model). None → no fused route
     (per-(batch, head) kernel)."""
-    if fused_attn_supported(seq, n_head, d_head, dtype):
+    if fused_attn_supported(seq, n_head, d_head, dtype, pairwise=pairwise):
         return n_head
     for hc in range(n_head - 1, 0, -1):
         if n_head % hc:
             continue
         if (3 * d_head * hc) % 128:
             continue
-        if fused_attn_supported(seq, hc, d_head, dtype):
+        if fused_attn_supported(seq, hc, d_head, dtype, pairwise=pairwise):
             return hc
     return None
 
 
-def fused_attn_supported(seq: int, n_head: int, d_head: int, dtype) -> bool:
+def fused_attn_supported(seq: int, n_head: int, d_head: int, dtype,
+                         pairwise: bool = False) -> bool:
+    """Is the fused kernel compilable at this config on THIS toolchain?
+
+    The measured table below (:func:`fused_attn_table`) is trusted only on
+    the toolchains it was measured on; any other jax/libtpu/Mosaic version
+    probe-compiles the config in a crash-isolated subprocess and caches the
+    verdict persistently (ops/mosaic_probe.py, VERDICT r2 #1) — so a
+    toolchain bump can neither crash serving startup (the old failure mode:
+    a remote tpu_compile_helper exit, unrecoverable in-process) nor
+    silently mis-route shapes that now compile."""
+    from .mosaic_probe import fused_attn_ok
+
+    return fused_attn_ok(seq, n_head, d_head, dtype, pairwise=pairwise,
+                         table_fn=fused_attn_table)
+
+
+def fused_attn_table(seq: int, n_head: int, d_head: int, dtype) -> bool:
     """Measured Mosaic compile envelope for this kernel on v5e (round 2).
 
     Big (T, D=H·dh) combinations crash the Mosaic compiler (remote

@@ -54,6 +54,9 @@ def test_q4_matmul_compiled(ftype, m, k, n):
     (4, 512, 16, 64, False),    # bge-large longest → head-chunked grid
     (4, 512, 12, 64, False),    # bert-base longest → head-chunked grid
     (8, 64, 16, 64, True),      # bge-large class, packed bias
+    (4, 512, 16, 32, False),    # table-False whole-kernel: the probe
+                                # routes it to a verified head chunk
+                                # (ops/mosaic_probe.py, round 3)
 ])
 def test_fused_qkv_attention_compiled(dtype, b, t, h, dh, pairwise):
     from bert_tpu.ops.attention import _mha_jnp
