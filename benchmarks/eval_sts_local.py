@@ -63,25 +63,40 @@ def read_pairs(path):
 
 
 def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from eval_common import (
+        DATA_DIR,
+        MODES,
+        build_eval_vocab_tokens,
+        build_fixture_model,
+        make_engine,
+    )
+
     ap = argparse.ArgumentParser()
-    ap.add_argument("-m", "--model", required=True,
+    ap.add_argument("-m", "--model",
                     help="ggml-bin file / HF dir / .npz cache")
-    ap.add_argument("pairs", help="TSV: sentence1<TAB>sentence2<TAB>score")
-    ap.add_argument("--mode", default="q4_0",
-                    help="label for the results dir (quantize HF dirs)")
+    ap.add_argument("--fixture", action="store_true",
+                    help="build the offline random-weight fixture model "
+                    "(vocab derived from the dataset)")
+    ap.add_argument("pairs", nargs="?",
+                    default=os.path.join(DATA_DIR, "sts_en.tsv"),
+                    help="TSV: sentence1<TAB>sentence2<TAB>score "
+                    "(default: the committed original English pair set)")
+    ap.add_argument("--mode", default="q4_0", choices=MODES,
+                    help="engine configuration (eval_common.make_engine)")
     ap.add_argument("--max-batch", type=int, default=1024)
     args = ap.parse_args()
 
-    from bert_tpu import BertTPU
-    from bert_tpu.quant import FTYPE_BY_NAME
-
-    # q4 modes quantize on load (HF dirs AND dense ggml files; files
-    # already stored at that ftype load bit-exactly)
-    qft = FTYPE_BY_NAME[args.mode] if args.mode in ("q4_0", "q4_1") else None
-    model = BertTPU.from_file(args.model, quantize_ftype=qft,
-                              max_batch=args.max_batch)
-
     s1, s2, gold = read_pairs(args.pairs)
+    if args.fixture:
+        args.model = "/tmp/fixture-minilm-l6"
+        if not os.path.exists(args.model):
+            build_fixture_model(args.model,
+                                build_eval_vocab_tokens(s1 + s2))
+    elif not args.model:
+        ap.error("need -m MODEL or --fixture")
+
+    model = make_engine(args.model, args.mode, max_batch=args.max_batch)
     model.encode_batch(s1[:8] + s2[:8])  # warm the shape set
 
     t0 = time.time()
@@ -98,12 +113,18 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "results",
         f"{os.path.basename(os.path.normpath(args.model))}_{args.mode}")
     os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "STSLocal.json"), "w") as f:
-        json.dump({
-            "test": {"cos_sim": {"spearman": rho},
-                     "evaluation_time": round(dt, 2)},
-            "n_pairs": len(s1),
-        }, f, indent=1)
+    task = ("STSLocalEn"
+            if os.path.basename(args.pairs) == "sts_en.tsv" else "STSLocal")
+    payload = {
+        "test": {"cos_sim": {"spearman": rho},
+                 "evaluation_time": round(dt, 2)},
+        "n_pairs": len(s1),
+    }
+    if args.mode == "f16":
+        payload["compute_note"] = ("mode 'f16' is the reference label; on "
+                                   "TPU the compute dtype is bfloat16")
+    with open(os.path.join(out_dir, f"{task}.json"), "w") as f:
+        json.dump(payload, f, indent=1)
     print(f"results in {out_dir}")
 
 

@@ -63,6 +63,8 @@ def run(args) -> None:
         sys.exit("the `mteb` package is not installed (zero-egress sandbox?) "
                  "— install mteb and run on a connected machine")
 
+    out_root = getattr(args, "out_root", None) or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "results")
     for mode in args.modes:
         if mode.startswith("sbert"):
             from sentence_transformers import SentenceTransformer
@@ -70,8 +72,12 @@ def run(args) -> None:
             model = SentenceTransformer(args.sbert_name, device="cpu")
         else:
             model = TpuEngineForMTEB(args.model, mode)
+        if mode == "f16":
+            # reference MODE LABEL; on TPU the compute dtype is bfloat16
+            # (there is no f16 compute path) — see eval_common.make_engine
+            print("[f16] note: compute dtype on TPU is bfloat16")
         out_dir = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "results",
+            out_root,
             f"{os.path.basename(os.path.normpath(args.model))}_{mode}",
         )
         tasks = mteb.get_tasks(tasks=args.tasks)
@@ -89,6 +95,8 @@ def main() -> None:
     ap.add_argument("--tasks", nargs="+", default=TASKS)
     ap.add_argument("--sbert-name",
                     default="sentence-transformers/all-MiniLM-L6-v2")
+    ap.add_argument("--out-root", default=None,
+                    help="results root (default: benchmarks/results)")
     run(ap.parse_args())
 
 

@@ -51,6 +51,41 @@ class SocketModelForMTEB:
         return out
 
 
+def run(args) -> None:
+    try:
+        import mteb
+    except ImportError:
+        sys.exit("the `mteb` package is not installed (zero-egress sandbox?)")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_root = getattr(args, "out_root", None) or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "results")
+    port = getattr(args, "port", PORT)
+    for mode in args.modes:
+        model_path = args.model.format(mode=mode)
+        cmd = [sys.executable, "-m", "bert_tpu.server", "-m", model_path,
+               "--port", str(port)]
+        if getattr(args, "no_warmup", False):
+            cmd.append("--no-warmup")
+        env = {**os.environ,
+               # APPEND to PYTHONPATH (replacing it can drop the dir that
+               # registers the TPU plugin)
+               "PYTHONPATH": repo + os.pathsep
+               + os.environ.get("PYTHONPATH", "")}
+        proc = subprocess.Popen(cmd, cwd=repo, env=env)
+        try:
+            model = SocketModelForMTEB(port=port)
+            out_dir = os.path.join(
+                out_root, f"server_{os.path.basename(model_path)}")
+            evaluation = mteb.MTEB(tasks=mteb.get_tasks(tasks=args.tasks))
+            evaluation.run(model, output_folder=out_dir,
+                           eval_splits=["test"], overwrite_results=True)
+            print(f"[{mode}] results in {out_dir}")
+        finally:
+            proc.terminate()
+            proc.wait()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("-m", "--model", required=True, help="ggml-bin per mode, "
@@ -59,32 +94,12 @@ def main() -> None:
                     default=["q4_0", "q4_1", "f32", "f16"])
     ap.add_argument("--tasks", nargs="+",
                     default=["STSBenchmark", "EmotionClassification"])
-    args = ap.parse_args()
-
-    try:
-        import mteb
-    except ImportError:
-        sys.exit("the `mteb` package is not installed (zero-egress sandbox?)")
-
-    for mode in args.modes:
-        model_path = args.model.format(mode=mode)
-        proc = subprocess.Popen(
-            [sys.executable, "-m", "bert_tpu.server", "-m", model_path,
-             "--port", str(PORT)],
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        )
-        try:
-            model = SocketModelForMTEB()
-            out_dir = os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "results",
-                f"server_{os.path.basename(model_path)}",
-            )
-            evaluation = mteb.MTEB(tasks=mteb.get_tasks(tasks=args.tasks))
-            evaluation.run(model, output_folder=out_dir,
-                           eval_splits=["test"], overwrite_results=True)
-        finally:
-            proc.terminate()
-            proc.wait()
+    ap.add_argument("--port", type=int, default=PORT)
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="pass --no-warmup to the spawned server")
+    ap.add_argument("--out-root", default=None,
+                    help="results root (default: benchmarks/results)")
+    run(ap.parse_args())
 
 
 if __name__ == "__main__":
