@@ -62,7 +62,12 @@ def main() -> None:
         texts = _default_corpus()
     print(f"embedding corpus of {len(texts)} lines ...")
     t0 = time.time()
-    corpus_emb = model.encode_batch(texts)  # [N, D], L2-normalized
+    # streaming windows (engine.encode_iter): O(window) memory however
+    # large the corpus file is — the reference's per-sentence loop
+    # (bert.cpp:1014-1020) handled million-line corpora in O(1); this
+    # keeps that property at the TPU bulk rate
+    corpus_emb = np.concatenate(
+        list(model.encode_iter(texts, window=4096)))  # [N, D], L2-normalized
     print(f"done in {time.time() - t0:.2f}s")
 
     while True:
