@@ -35,8 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from eval_common import (  # noqa: E402
     DATA_DIR,
     MODES,
-    build_eval_vocab_tokens,
-    build_fixture_model,
+    default_fixture_model,
     make_engine,
     read_labeled,
     result_dir,
@@ -83,9 +82,7 @@ def main() -> None:
 
     labels, texts = read_labeled(args.data)
     if args.fixture:
-        args.model = "/tmp/fixture-minilm-l6"
-        if not os.path.exists(args.model):
-            build_fixture_model(args.model, build_eval_vocab_tokens(texts))
+        args.model = default_fixture_model()
     elif not args.model:
         ap.error("need -m MODEL or --fixture")
 

@@ -34,6 +34,14 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 sys.path.insert(0, os.path.join(_REPO, "tests"))
 
+# Honor JAX_PLATFORMS=cpu even when a TPU plugin is installed (the env var
+# alone does not override a plugin backend) — same contract as the CLI.
+if os.environ.get("JAX_PLATFORMS", "").lower().split(",")[0].strip() == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms",
+                      os.environ["JAX_PLATFORMS"].lower())
+
 DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
 RESULTS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "results")
@@ -94,6 +102,21 @@ def build_fixture_model(path: str, tokens: Sequence[str],
     return path
 
 
+def default_fixture_model(arch: str = "minilm_l6") -> str:
+    """The shared offline fixture model: ONE vocab covering every committed
+    dataset (both evaluators must use the same model file — a vocab built
+    from only one dataset would silently drop the other's words)."""
+    path = f"/tmp/fixture-{arch.replace('_', '-')}"
+    if not os.path.exists(path):
+        texts: List[str] = []
+        s1, s2, _ = read_sts_pairs(os.path.join(DATA_DIR, "sts_en.tsv"))
+        texts += s1 + s2
+        _, t = read_labeled(os.path.join(DATA_DIR, "emotion_en.tsv"))
+        texts += t
+        build_fixture_model(path, build_eval_vocab_tokens(texts), arch=arch)
+    return path
+
+
 def make_engine(model_path: str, mode: str, *, max_batch: int = 1024):
     """One engine per quality mode, mirroring the reference's four file
     dtypes plus our W8A8 opt-in:
@@ -117,7 +140,9 @@ def make_engine(model_path: str, mode: str, *, max_batch: int = 1024):
     if mode == "f32":
         kw["compute_dtype"] = jnp.float32
     elif mode == "f16":
-        pass  # engine default: bf16 compute on TPU, f32 elsewhere
+        # explicit, not the engine default: the default is backend-dependent
+        # (f32 on CPU) and would silently re-measure f32 there
+        kw["compute_dtype"] = jnp.bfloat16
     elif mode in ("q4_0", "q4_1"):
         kw["quantize_ftype"] = FTYPE_BY_NAME[mode]
     elif mode == "int8":

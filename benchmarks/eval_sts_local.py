@@ -67,8 +67,7 @@ def main() -> None:
     from eval_common import (
         DATA_DIR,
         MODES,
-        build_eval_vocab_tokens,
-        build_fixture_model,
+        default_fixture_model,
         make_engine,
     )
 
@@ -89,10 +88,7 @@ def main() -> None:
 
     s1, s2, gold = read_pairs(args.pairs)
     if args.fixture:
-        args.model = "/tmp/fixture-minilm-l6"
-        if not os.path.exists(args.model):
-            build_fixture_model(args.model,
-                                build_eval_vocab_tokens(s1 + s2))
+        args.model = default_fixture_model()
     elif not args.model:
         ap.error("need -m MODEL or --fixture")
 
