@@ -35,6 +35,11 @@ import numpy as np
 BASELINE_SENTENCES_PER_SEC = 506.0   # MiniLM-L6:  2758 / 5.45 s
 BASELINE_L12 = 2758 / 11.27          # ≈ 245/s
 BASELINE_BASE = 2758 / 33.93         # ≈ 81/s
+# bge-large has no reference row (the reference never benchmarked an
+# H=16/D=1024/24L model); bert-base's 81/s is the CONSERVATIVE comparator
+# (a ~3.6x-larger model would run the reference strictly slower), per
+# VERDICT r2 #5.
+BASELINE_BGE_LARGE = BASELINE_BASE
 N_SENTENCES = 2758  # STSB test split sentence count
 
 MODELS = {
@@ -42,6 +47,7 @@ MODELS = {
     "minilm_l6": (384, 1536, 12, 6, BASELINE_SENTENCES_PER_SEC),
     "minilm_l12": (384, 1536, 12, 12, BASELINE_L12),
     "bert_base": (768, 3072, 12, 12, BASELINE_BASE),
+    "bge_large": (1024, 4096, 16, 24, BASELINE_BGE_LARGE),
 }
 
 
@@ -181,13 +187,15 @@ def main() -> None:
     best = measure_model("minilm_l6", sentences, trials=5,
                          healthy_floor=floor, retries=2)
 
-    # model sweep (BASELINE.md's other two sections) — best-effort: a
-    # sweep failure must not lose the headline metric
+    # model sweep (BASELINE.md's sections + the bge-large class the
+    # head-chunked kernel targets) — best-effort: a sweep failure must
+    # not lose the headline metric
     extra = []
-    for name in ("minilm_l12", "bert_base"):
+    for name in ("minilm_l12", "bert_base", "bge_large"):
         _, _, _, _, baseline = MODELS[name]
         try:
-            sps = measure_model(name, sentences, trials=3,
+            sps = measure_model(name, sentences,
+                                trials=2 if name == "bge_large" else 3,
                                 healthy_floor=floor * baseline / 506.0,
                                 retries=1)
             extra.append({
@@ -217,6 +225,33 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         log(f"int8-wire measurement failed: {exc!r}")
         extra.append({"metric": "sentences_per_sec_minilm_l6_q4_0_int8wire",
+                      "error": str(exc)})
+
+    # streaming bulk-indexing rate (engine.encode_iter): the corpus-scale
+    # workload with O(window) memory — must hold ≥~95% of the bulk rate
+    try:
+        from bert_tpu import BertTPU
+
+        model = BertTPU.from_file("/tmp/bench_minilm_l6_q4_0.bin",
+                                  max_batch=2048)
+        big = sentences * 4  # 11,032 sentences, > 2 windows
+        list(model.encode_iter(sentences, window=2048))  # warm
+        t0 = time.time()
+        n_done = sum(len(b) for b in model.encode_iter(big, window=2048))
+        dt = time.time() - t0
+        assert n_done == len(big)
+        sps = n_done / dt
+        log(f"[minilm_l6] streaming {n_done} sentences in {dt:.2f}s "
+            f"→ {sps:.0f}/s")
+        extra.append({
+            "metric": "streaming_sentences_per_sec_minilm_l6_q4_0",
+            "value": round(sps, 1),
+            "unit": "sentences/s",
+            "vs_baseline": round(sps / BASELINE_SENTENCES_PER_SEC, 2),
+        })
+    except Exception as exc:  # noqa: BLE001
+        log(f"streaming measurement failed: {exc!r}")
+        extra.append({"metric": "streaming_sentences_per_sec_minilm_l6_q4_0",
                       "error": str(exc)})
 
     # device-side rate (slope-timed, transfer-free): the per-chip number

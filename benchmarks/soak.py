@@ -114,6 +114,7 @@ def main() -> None:
     stop = threading.Event()
     n_total = args.clients + args.batch_clients
     counts = [0] * n_total
+    latencies = [[] for _ in range(n_total)]  # seconds per round trip
     errors = []
 
     def text_client(i):
@@ -123,8 +124,10 @@ def main() -> None:
             payload = f"closed loop client number {i} going to the store" \
                 .encode()
             while not stop.is_set():
+                t0 = time.monotonic()
                 c.sendall(payload)
                 _recv_exact(c, 4 * n_embd)
+                latencies[i].append(time.monotonic() - t0)
                 counts[i] += 1
             c.close()
         except Exception as exc:  # noqa: BLE001
@@ -143,8 +146,10 @@ def main() -> None:
             c = socket.create_connection((host, port), timeout=120)
             _recv_exact(c, 4)
             while not stop.is_set():
+                t0 = time.monotonic()
                 c.sendall(msg)
                 _recv_exact(c, 4 * n_embd * len(ids))
+                latencies[i].append(time.monotonic() - t0)  # whole frame
                 counts[i] += len(ids)
             c.close()
         except Exception as exc:  # noqa: BLE001
@@ -173,6 +178,27 @@ def main() -> None:
     served, batches = struct.unpack("<QQ", resp[4:20])
     c.close()
 
+    def _lat_summary(samples):
+        """p50/p95/p99/max (ms) + a log2 histogram — tail latency is the
+        axis micro-batching trades against batch_window_ms (VERDICT r2
+        weak #2)."""
+        if not samples:
+            return None
+        ms = np.sort(np.asarray(samples)) * 1e3
+        edges = [1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024]
+        hist, _ = np.histogram(ms, bins=[0] + edges + [float("inf")])
+        return {
+            "n": int(ms.size),
+            "p50_ms": round(float(np.percentile(ms, 50)), 2),
+            "p95_ms": round(float(np.percentile(ms, 95)), 2),
+            "p99_ms": round(float(np.percentile(ms, 99)), 2),
+            "max_ms": round(float(ms[-1]), 2),
+            "histogram_le_ms": {str(e): int(c) for e, c in
+                                zip(edges + ["inf"], hist)},
+        }
+
+    text_lat = [s for lat in latencies[:args.clients] for s in lat]
+    frame_lat = [s for lat in latencies[args.clients:] for s in lat]
     print(json.dumps({
         "sentences": total,
         "seconds": args.seconds,
@@ -181,6 +207,9 @@ def main() -> None:
         "server_served": served,
         "server_batches": batches,
         "mean_batch_fill": round(served / max(batches, 1), 1),
+        "batch_window_ms": args.batch_window_ms,
+        "latency_text": _lat_summary(text_lat),
+        "latency_batch_frame": _lat_summary(frame_lat),
     }), flush=True)
     if errors:
         print("first errors:", errors[:5], file=sys.stderr)

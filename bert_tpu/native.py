@@ -104,20 +104,49 @@ class NativeWordPiece:
         n = self._lib.wp_tokenize(self._handle, raw, len(raw), out, cap)
         return list(out[:n])
 
-    def tokenize_batch(self, texts: Sequence[str],
-                       n_max_tokens: int) -> List[List[int]]:
-        payload = bytearray()
-        for t in texts:
-            raw = t.encode("utf-8")
-            payload += struct.pack("<I", len(raw)) + raw
-        buf = bytes(payload)
+    # Below this batch size a thread pool costs more than it saves
+    # (measured on this box: crossover ≈ a few hundred sentences).
+    _MIN_PER_THREAD = 512
+
+    def tokenize_batch(self, texts: Sequence[str], n_max_tokens: int,
+                       n_threads: Optional[int] = None) -> List[List[int]]:
+        """One FFI call per worker for the whole batch. ctypes releases the
+        GIL for the duration of wp_tokenize_batch and the native core is
+        stateless over a read-only vocab, so contiguous slices tokenize on
+        a thread pool in true parallel (VERDICT r2 #8: the engine becomes
+        tokenizer-bound near ~400k sentences/s on production hosts —
+        threading moves that ceiling by ~#cores)."""
         n = len(texts)
+        if n_threads is None:
+            # default: one thread per core, but never split batches too
+            # small to amortize the pool (explicit n_threads overrides)
+            n_threads = int(os.environ.get("BERT_TPU_TOKENIZE_THREADS", "0")
+                            ) or (os.cpu_count() or 1)
+            n_threads = min(n_threads, n // self._MIN_PER_THREAD)
+        n_threads = max(1, min(n_threads, n))
         out = np.empty((n, n_max_tokens), dtype=np.int32)
         lens = np.empty((n,), dtype=np.int32)
-        self._lib.wp_tokenize_batch(
-            self._handle, buf, len(buf), n,
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            n_max_tokens,
-        )
+
+        def work(start: int, end: int) -> None:
+            payload = bytearray()
+            for t in texts[start:end]:
+                raw = t.encode("utf-8")
+                payload += struct.pack("<I", len(raw)) + raw
+            buf = bytes(payload)
+            self._lib.wp_tokenize_batch(
+                self._handle, buf, len(buf), end - start,
+                out[start:].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                lens[start:].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                n_max_tokens,
+            )
+
+        if n_threads <= 1:
+            work(0, n)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            step = -(-n // n_threads)  # ceil
+            bounds = [(s, min(n, s + step)) for s in range(0, n, step)]
+            with ThreadPoolExecutor(max_workers=len(bounds)) as ex:
+                list(ex.map(lambda b: work(*b), bounds))
         return [out[i, : lens[i]].tolist() for i in range(n)]

@@ -18,6 +18,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+from bert_tpu.cache import enable_compilation_cache
+
+enable_compilation_cache()  # workers re-spawn per test run: cache compiles
+
 import numpy as np
 
 

@@ -48,6 +48,18 @@ def test_batch_api(native, py_tok):
         assert ids == py_tok.tokenize(text, 32)
 
 
+def test_batch_threaded_matches_single(native, py_tok):
+    """The thread-pooled batch path (GIL released per slice) must be
+    bit-identical to single-threaded and Python — including slice
+    boundaries (uneven splits, empty strings)."""
+    texts = (["the store", "", "don't go anywhere", "Québec city",
+              "going going going"] * 41)[:203]
+    one = native.tokenize_batch(texts, 32, n_threads=1)
+    for nt in (2, 3, 8):
+        assert native.tokenize_batch(texts, 32, n_threads=nt) == one
+    assert one[:5] == [py_tok.tokenize(t, 32) for t in texts[:5]]
+
+
 def test_fuzz_equivalence(native, py_tok):
     """Random strings (ASCII + accents + unicode + whitespace soup) must
     tokenize identically in Python and C++."""
