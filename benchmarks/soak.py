@@ -31,6 +31,7 @@ sys.path.insert(0, REPO)
 
 BIN_BATCH = b"\xb5\x87\xe3\x02"
 BIN_STATS = b"\xb5\x87\xe3\x04"
+BIN_STATS2 = b"\xb5\x87\xe3\x05"
 
 
 def _recv_exact(c: socket.socket, n: int) -> bytes:
@@ -173,9 +174,10 @@ def main() -> None:
     total = sum(counts)
     c = socket.create_connection((host, port), timeout=30)
     _recv_exact(c, 4)
-    c.sendall(BIN_STATS)
-    resp = _recv_exact(c, 20)
-    served, batches = struct.unpack("<QQ", resp[4:20])
+    c.sendall(BIN_STATS2)
+    resp = _recv_exact(c, 36)
+    served, batches, lat_n, sp50, sp95, sp99 = struct.unpack(
+        "<QQIIII", resp[4:36])
     c.close()
 
     def _lat_summary(samples):
@@ -210,6 +212,8 @@ def main() -> None:
         "batch_window_ms": args.batch_window_ms,
         "latency_text": _lat_summary(text_lat),
         "latency_batch_frame": _lat_summary(frame_lat),
+        "server_latency_us": {"n": lat_n, "p50": sp50, "p95": sp95,
+                              "p99": sp99},
     }), flush=True)
     if errors:
         print("first errors:", errors[:5], file=sys.stderr)

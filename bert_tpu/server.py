@@ -52,10 +52,15 @@ MAX_MSG = 1 << 15  # reference read buffer size (server.cpp:27)
 #          i32 n_max_tokens (16 bytes; lets "host:port" clients learn the
 #          real token cap instead of assuming 512)
 #   STATS  magic only → magic echo, u64 n_served, u64 n_batches (20 bytes)
+#   STATS2 magic only → magic echo, u64 n_served, u64 n_batches,
+#          u32 latency sample count, u32 p50, u32 p95, u32 p99 (µs,
+#          request submit→result over a sliding reservoir; 36 bytes).
+#          Separate magic so STATS stays 20 bytes for old consumers.
 BIN_EVAL_MAGIC = b"\xb5\x87\xe3\x01"
 BIN_BATCH_MAGIC = b"\xb5\x87\xe3\x02"
 BIN_META_MAGIC = b"\xb5\x87\xe3\x03"
 BIN_STATS_MAGIC = b"\xb5\x87\xe3\x04"
+BIN_STATS2_MAGIC = b"\xb5\x87\xe3\x05"
 PROTOCOL_VERSION = 1
 MAX_BATCH_SENTENCES = 16384  # caps a framed batch reply at ~25 MB (D=384)
 
@@ -82,17 +87,33 @@ class BatchingScheduler:
         self._inflight: set = set()
         self.n_served = 0
         self.n_batches = 0
+        # sliding reservoir of request latencies (submit -> result, s);
+        # deque maxlen bounds memory and biases toward recent behavior
+        from collections import deque
+
+        self.latencies: deque = deque(maxlen=4096)
 
     async def submit(self, text: str) -> np.ndarray:
         fut: asyncio.Future = asyncio.get_running_loop().create_future()
+        fut._t_submit = time.monotonic()
         await self.queue.put((text, fut))
         return await fut
 
     async def submit_tokens(self, token_ids: Sequence[int]) -> np.ndarray:
         """Pre-tokenized request (framed binary message / C API bert_eval)."""
         fut: asyncio.Future = asyncio.get_running_loop().create_future()
+        fut._t_submit = time.monotonic()
         await self.queue.put((list(token_ids), fut))
         return await fut
+
+    def latency_percentiles_us(self):
+        """(n, p50, p95, p99) in µs over the reservoir (zeros when empty)."""
+        if not self.latencies:
+            return 0, 0, 0, 0
+        ms = np.sort(np.asarray(self.latencies))
+        pick = lambda q: int(ms[min(len(ms) - 1,
+                                    int(q * (len(ms) - 1)))] * 1e6)
+        return len(ms), pick(0.50), pick(0.95), pick(0.99)
 
     async def submit_many(self, payloads: Sequence[Union[str, List[int]]]
                           ) -> List[np.ndarray]:
@@ -102,7 +123,9 @@ class BatchingScheduler:
         back instead of trickling."""
         loop = asyncio.get_running_loop()
         futs = [loop.create_future() for _ in payloads]
+        t0 = time.monotonic()
         for p, f in zip(payloads, futs):
+            f._t_submit = t0
             await self.queue.put((p, f))
         # return_exceptions so every sibling future is retrieved even when
         # one micro-batch fails (otherwise each unretrieved exception logs
@@ -163,9 +186,13 @@ class BatchingScheduler:
             embs = await loop.run_in_executor(
                 None, self._eval_mixed, payloads
             )
+            t_done = time.monotonic()
             for (_, fut), emb in zip(batch, embs):
                 if not fut.done():
                     fut.set_result(emb)
+                    t0 = getattr(fut, "_t_submit", None)
+                    if t0 is not None:
+                        self.latencies.append(t_done - t0)
         except asyncio.CancelledError:
             # server shutdown mid-eval: fail the batch's clients instead of
             # stranding their futures forever
@@ -257,6 +284,14 @@ class EmbeddingServer:
                 "<QQ", self.scheduler.n_served, self.scheduler.n_batches))
             await writer.drain()
             return True
+        if magic == BIN_STATS2_MAGIC:
+            del buf[:4]
+            n, p50, p95, p99 = self.scheduler.latency_percentiles_us()
+            writer.write(BIN_STATS2_MAGIC + struct.pack(
+                "<QQIIII", self.scheduler.n_served,
+                self.scheduler.n_batches, n, p50, p95, p99))
+            await writer.drain()
+            return True
         if magic == BIN_EVAL_MAGIC:
             if not await self._fill(reader, buf, 8):
                 return False
@@ -305,7 +340,7 @@ class EmbeddingServer:
         return False  # unreachable: caller checked the magic
 
     _FRAMED_MAGICS = (BIN_EVAL_MAGIC, BIN_BATCH_MAGIC, BIN_META_MAGIC,
-                      BIN_STATS_MAGIC)
+                      BIN_STATS_MAGIC, BIN_STATS2_MAGIC)
 
     async def _handle(self, reader: asyncio.StreamReader,
                       writer: asyncio.StreamWriter) -> None:

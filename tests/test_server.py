@@ -246,6 +246,36 @@ def test_framed_meta_and_stats(model):
     assert n_served >= 1 and n_batches >= 1
 
 
+def test_framed_stats2_latency(model):
+    """STATS2: served/batch counters plus submit→result latency
+    percentiles in µs over the scheduler's reservoir (the serving-side
+    half of the tail-latency evidence; soak.py consumes it)."""
+    from bert_tpu.server import BIN_STATS2_MAGIC
+
+    async def scenario(server, port):
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        await reader.readexactly(4)
+        for text in ("the store", "don't go", "going to"):
+            writer.write(text.encode())
+            await writer.drain()
+            await reader.readexactly(CFG.n_embd * 4)
+        writer.write(BIN_STATS2_MAGIC)
+        await writer.drain()
+        raw = await reader.readexactly(36)
+        writer.close()
+        await writer.wait_closed()
+        return raw
+
+    raw = _run_with_server(model, scenario)
+    from bert_tpu.server import BIN_STATS2_MAGIC
+
+    assert raw[:4] == BIN_STATS2_MAGIC
+    served, batches, n, p50, p95, p99 = struct.unpack("<QQIIII", raw[4:])
+    assert served >= 3 and batches >= 1
+    assert n >= 3
+    assert 0 < p50 <= p95 <= p99 < 60_000_000  # sane µs values
+
+
 def test_pipelined_frames_in_one_segment(model):
     """Two framed messages written in ONE TCP segment must both get
     replies (ADVICE r1: the old reader dropped leftover bytes)."""
