@@ -13,6 +13,7 @@ Quantized weights are :class:`bert_tpu.quant.QuantTensor` leaves (packed codes
 
 from __future__ import annotations
 
+import functools as _functools
 from dataclasses import dataclass
 from typing import Any, Dict, Optional, Union
 
@@ -277,7 +278,22 @@ def params_to_int8(params: Dict[str, Dict[str, WeightLike]]
 def random_named_tensors(
     config: BertConfig, seed: int = 0, scale: float = 0.02
 ) -> Dict[str, np.ndarray]:
-    """Random HF-layout tensors for fixtures/tests (no network, no HF hub)."""
+    """Random HF-layout tensors for fixtures/tests (no network, no HF hub).
+
+    Memoized per (config, seed, scale): the suite builds the same
+    MiniLM-L6-shaped fixture in over a dozen test modules, and on this
+    box generating ~90 MB of fresh pages costs tens of seconds
+    (lazily-restored VM memory services first-touch faults at single-digit
+    MB/s — see docs/PERF.md "Environment artifacts"). The cached arrays
+    are marked read-only so an accidental in-place edit in one test can't
+    poison another; callers get a fresh dict over the shared arrays."""
+    return dict(_random_named_tensors_cached(config, seed, scale))
+
+
+@_functools.lru_cache(maxsize=4)
+def _random_named_tensors_cached(
+    config: BertConfig, seed: int, scale: float
+) -> Dict[str, np.ndarray]:
     rng = np.random.default_rng(seed)
 
     def t(*shape):
@@ -311,4 +327,6 @@ def random_named_tensors(
         named[p + "output.dense.bias"] = t(d)
         named[p + "output.LayerNorm.weight"] = np.ones(d, np.float32)
         named[p + "output.LayerNorm.bias"] = np.zeros(d, np.float32)
+    for arr in named.values():
+        arr.flags.writeable = False
     return named
