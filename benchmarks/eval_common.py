@@ -105,15 +105,35 @@ def build_fixture_model(path: str, tokens: Sequence[str],
 def default_fixture_model(arch: str = "minilm_l6") -> str:
     """The shared offline fixture model: ONE vocab covering every committed
     dataset (both evaluators must use the same model file — a vocab built
-    from only one dataset would silently drop the other's words)."""
+    from only one dataset would silently drop the other's words).
+
+    The /tmp cache is validated against a content hash of the source
+    datasets (sidecar file): editing benchmarks/data/*.tsv regenerates the
+    model instead of silently reusing a vocab that no longer covers the
+    new words. The model PATH stays hash-free so results/ dir names (the
+    committed quality tables) remain stable."""
+    import hashlib
+
     path = f"/tmp/fixture-{arch.replace('_', '-')}"
-    if not os.path.exists(path):
+    h = hashlib.sha1()
+    for fname in ("sts_en.tsv", "emotion_en.tsv"):
+        with open(os.path.join(DATA_DIR, fname), "rb") as f:
+            h.update(f.read())
+    digest = f"{arch}:{h.hexdigest()}"
+    sidecar = path + ".src.sha1"
+    fresh = False
+    if os.path.exists(path) and os.path.exists(sidecar):
+        with open(sidecar, encoding="utf-8") as f:
+            fresh = f.read().strip() == digest
+    if not fresh:
         texts: List[str] = []
         s1, s2, _ = read_sts_pairs(os.path.join(DATA_DIR, "sts_en.tsv"))
         texts += s1 + s2
         _, t = read_labeled(os.path.join(DATA_DIR, "emotion_en.tsv"))
         texts += t
         build_fixture_model(path, build_eval_vocab_tokens(texts), arch=arch)
+        with open(sidecar, "w", encoding="utf-8") as f:
+            f.write(digest)
     return path
 
 

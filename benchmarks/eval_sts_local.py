@@ -24,6 +24,9 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from eval_common import read_sts_pairs as read_pairs  # noqa: E402 (shared parser)
 
 
 def spearman(a: np.ndarray, b: np.ndarray) -> float:
@@ -47,28 +50,13 @@ def spearman(a: np.ndarray, b: np.ndarray) -> float:
     return float((ra * rb).sum() / denom) if denom else 0.0
 
 
-def read_pairs(path):
-    s1, s2, gold = [], [], []
-    with open(path, encoding="utf-8") as f:
-        for line in f:
-            parts = line.rstrip("\n").split("\t")
-            if len(parts) < 3:
-                continue
-            s1.append(parts[0])
-            s2.append(parts[1])
-            gold.append(float(parts[2]))
-    if not gold:
-        raise ValueError(f"no pairs parsed from {path}")
-    return s1, s2, np.asarray(gold)
-
-
 def main() -> None:
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from eval_common import (
         DATA_DIR,
         MODES,
         default_fixture_model,
         make_engine,
+        result_dir,
     )
 
     ap = argparse.ArgumentParser()
@@ -105,10 +93,7 @@ def main() -> None:
     print(f"{len(s1)} pairs: cosine-Spearman {rho:.5f}, "
           f"eval {dt:.2f}s ({n_sent / dt:.0f} sentences/s)")
 
-    out_dir = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "results",
-        f"{os.path.basename(os.path.normpath(args.model))}_{args.mode}")
-    os.makedirs(out_dir, exist_ok=True)
+    out_dir = result_dir(args.model, args.mode)
     task = ("STSLocalEn"
             if os.path.basename(args.pairs) == "sts_en.tsv" else "STSLocal")
     payload = {

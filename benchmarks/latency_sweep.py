@@ -99,10 +99,10 @@ def main() -> None:
                 rec.update({"window_ms": window, "load": load,
                             "clients": nc, "batch_clients": nb})
                 records.append(rec)
+                lt = rec["latency_text"] or {"p50_ms": "—", "p99_ms": "—"}
                 print(f"[window={window}ms {load}] "
                       f"{rec['sentences_per_sec']}/s "
-                      f"text p50/p99 {rec['latency_text']['p50_ms']}/"
-                      f"{rec['latency_text']['p99_ms']} ms",
+                      f"text p50/p99 {lt['p50_ms']}/{lt['p99_ms']} ms",
                       file=sys.stderr, flush=True)
         finally:
             proc.send_signal(signal.SIGTERM)
@@ -121,7 +121,9 @@ def main() -> None:
           "frame p99 | server p99 |")
     print("|---|---|---|---|---|---|---|---|")
     for r in records:
-        lt, lf = r["latency_text"], r["latency_batch_frame"]
+        lt = r["latency_text"] or {"p50_ms": "—", "p95_ms": "—",
+                                   "p99_ms": "—"}
+        lf = r["latency_batch_frame"]
         sp99 = r["server_latency_us"]["p99"] / 1e3
         fp99 = f"{lf['p99_ms']} ms" if lf else "—"
         print(f"| {r['window_ms']} ms | {r['load']} "

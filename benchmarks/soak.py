@@ -209,7 +209,9 @@ def main() -> None:
         "server_served": served,
         "server_batches": batches,
         "mean_batch_fill": round(served / max(batches, 1), 1),
-        "batch_window_ms": args.batch_window_ms,
+        # in --connect mode the attached server's window is unknown; don't
+        # report soak's own spawn-mode default as if it were the server's
+        "batch_window_ms": None if args.connect else args.batch_window_ms,
         "latency_text": _lat_summary(text_lat),
         "latency_batch_frame": _lat_summary(frame_lat),
         "server_latency_us": {"n": lat_n, "p50": sp50, "p95": sp95,

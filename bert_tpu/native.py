@@ -118,11 +118,16 @@ class NativeWordPiece:
         threading moves that ceiling by ~#cores)."""
         n = len(texts)
         if n_threads is None:
-            # default: one thread per core, but never split batches too
-            # small to amortize the pool (explicit n_threads overrides)
-            n_threads = int(os.environ.get("BERT_TPU_TOKENIZE_THREADS", "0")
-                            ) or (os.cpu_count() or 1)
-            n_threads = min(n_threads, n // self._MIN_PER_THREAD)
+            env = int(os.environ.get("BERT_TPU_TOKENIZE_THREADS", "0"))
+            if env:
+                # explicit env override: honored as-is (like the kwarg) —
+                # the amortization threshold only gates the AUTO default
+                n_threads = env
+            else:
+                # default: one thread per core, but never split batches
+                # too small to amortize the pool
+                n_threads = min(os.cpu_count() or 1,
+                                n // self._MIN_PER_THREAD)
         n_threads = max(1, min(n_threads, n))
         out = np.empty((n, n_max_tokens), dtype=np.int32)
         lens = np.empty((n,), dtype=np.int32)

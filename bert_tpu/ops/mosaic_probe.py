@@ -170,7 +170,13 @@ def f(qkv, bias):
     return fused_qkv_attention(qkv, bias, n_head=n_head, d_head=d_head,
                                scale=0.125, head_chunk=n_head)
 
-jax.jit(f).lower(qkv, bias).compile()
+lowered = jax.jit(f).lower(qkv, bias)
+# Everything environmental (imports, backend/device acquisition, tracing)
+# is done; only the Mosaic/XLA compile itself remains. The parent uses
+# this marker to classify a failure after it as a definitive compile
+# verdict rather than a broken environment.
+print("MOSAIC_PROBE_READY", flush=True)
+lowered.compile()
 print("MOSAIC_PROBE_OK")
 """
 
@@ -204,9 +210,14 @@ def _run_probe(seq: int, n_head: int, d_head: int, dtype_name: str,
     if "MOSAIC_PROBE_OK" in res.stdout:
         return True
     tail = (res.stderr or res.stdout or "").strip().splitlines()[-3:]
-    # Heuristic: compiler/lowering failures are definitive verdicts; import
-    # or device-acquisition failures are environmental. The canary check in
-    # fused_attn_ok() is the robust guard; this just improves logs.
+    if "MOSAIC_PROBE_READY" not in res.stdout:
+        # never reached the compile step: import error, device acquisition
+        # (e.g. an exclusive-libtpu runtime where the parent holds the
+        # lock), backend init — environmental, must not become a verdict
+        logger.warning("mosaic probe (%d,%d,%d,%s) failed before compile "
+                       "rc=%d (environment, not caching): %s", seq, n_head,
+                       d_head, dtype_name, res.returncode, " | ".join(tail))
+        return None
     logger.info("mosaic probe (%d,%d,%d,%s,pairwise=%s) failed rc=%d: %s",
                 seq, n_head, d_head, dtype_name, pairwise, res.returncode,
                 " | ".join(tail))
@@ -235,6 +246,21 @@ def _canary_ok() -> bool:
             "(device busy / tunnel down?); falling back to the measured "
             "table for all shapes this process")
         return False
+
+
+def _recheck_canary() -> bool:
+    """Fresh canary run (bypasses the cached True) used to validate a
+    just-observed compile FAILURE: if the canary no longer compiles, the
+    environment broke mid-session and the failure is not a verdict."""
+    global _env_broken
+    if _run_probe(*_CANARY, False) is True:
+        return True
+    with _lock:
+        _env_broken = True
+    logger.warning("mosaic canary stopped compiling mid-session — "
+                   "environment broke; discarding the failure verdict and "
+                   "falling back to the measured table")
+    return False
 
 
 def probe_mode() -> str:
@@ -274,9 +300,9 @@ def fused_attn_ok(seq: int, n_head: int, d_head: int, dtype,
     mode = probe_mode()
     if mode == "0":
         return table
-    if (mode != "force" and table
-            and toolchain_key() in MEASURED_TOOLCHAINS):
-        return True
+    # explicit verdicts (including ones recorded under "force" on a
+    # measured toolchain) outrank the table's optimism — check caches
+    # BEFORE the measured-toolchain short-circuit
     key = _shape_key(seq, n_head, d_head, dtype_name, pairwise)
     if key in _mem_cache:
         return _mem_cache[key]
@@ -284,10 +310,18 @@ def fused_attn_ok(seq: int, n_head: int, d_head: int, dtype,
     if cached is not None:
         _mem_cache[key] = cached
         return cached
+    if (mode != "force" and table
+            and toolchain_key() in MEASURED_TOOLCHAINS):
+        return True
     if not _canary_ok():
         return table
     verdict = _run_probe(seq, n_head, d_head, dtype_name, pairwise)
     if verdict is None:  # transient environment failure: don't cache
+        return table
+    if verdict is False and not _recheck_canary():
+        # the environment may have broken MID-SESSION (tunnel drop during
+        # the compile step looks identical to a compiler rejection): a
+        # fresh canary failing means the False verdict is untrustworthy
         return table
     logger.info("mosaic probe verdict (%d,%d,%d,%s,pairwise=%s): %s",
                 seq, n_head, d_head, dtype_name, pairwise,

@@ -111,8 +111,12 @@ class BatchingScheduler:
         if not self.latencies:
             return 0, 0, 0, 0
         ms = np.sort(np.asarray(self.latencies))
-        pick = lambda q: int(ms[min(len(ms) - 1,
-                                    int(q * (len(ms) - 1)))] * 1e6)
+        # clamp to the wire's u32: a pathological multi-hour latency (seen
+        # in tunnel degradation windows) must saturate, not explode the
+        # struct.pack in the STATS2 handler
+        pick = lambda q: min(0xFFFFFFFF,
+                             int(ms[min(len(ms) - 1,
+                                        int(q * (len(ms) - 1)))] * 1e6))
         return len(ms), pick(0.50), pick(0.95), pick(0.99)
 
     async def submit_many(self, payloads: Sequence[Union[str, List[int]]]

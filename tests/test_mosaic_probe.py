@@ -135,10 +135,67 @@ def test_transient_probe_failure_not_cached(on_tpu, monkeypatch):
         fused_attn_table(512, 12, 32, jnp.bfloat16)
     key = mp._shape_key(512, 12, 32, "bfloat16", False)
     assert key not in mp._load_disk_cache()
-    # recovery: next call probes again and gets a real verdict
+    # recovery: next call probes again and gets a real verdict (the canary
+    # must keep passing or the False would be discarded as environmental)
     monkeypatch.setattr(
-        mp, "_run_probe", lambda seq, h, dh, dt, pw: False)
+        mp, "_run_probe",
+        lambda seq, h, dh, dt, pw: (seq, h, dh) == mp._CANARY[:3])
     assert fused_attn_supported(512, 12, 32, jnp.bfloat16) is False
+
+
+def test_false_verdict_requires_live_canary(on_tpu, monkeypatch):
+    """A compile FAILURE observed while the environment is dying (tunnel
+    drop mid-probe looks identical to a Mosaic rejection) must not be
+    cached: the fresh canary recheck discards it and routes by table."""
+    _fake_toolchain(monkeypatch)
+    stage = {"canary_done": False}
+
+    def probe(seq, h, dh, dt, pw):
+        if (seq, h, dh) == mp._CANARY[:3]:
+            if not stage["canary_done"]:
+                stage["canary_done"] = True  # initial canary: healthy
+                return True
+            return False  # recheck: environment has died
+        return False  # the shape "failed to compile"
+
+    monkeypatch.setattr(mp, "_run_probe", probe)
+    assert fused_attn_supported(512, 12, 32, jnp.bfloat16) is \
+        fused_attn_table(512, 12, 32, jnp.bfloat16)
+    key = mp._shape_key(512, 12, 32, "bfloat16", False)
+    assert key not in mp._load_disk_cache()  # garbage verdict not persisted
+
+
+def test_cached_verdict_outranks_measured_table(on_tpu, monkeypatch):
+    """An explicit cached verdict (e.g. recorded via BERT_TPU_MOSAIC_PROBE=
+    force) must be honored on the measured toolchain too — the table-True
+    short-circuit may not shadow a real observed compile failure."""
+    _fake_toolchain(monkeypatch, mp.MEASURED_TOOLCHAINS[0])
+    key = mp._shape_key(512, 12, 32, "bfloat16", False)
+    assert fused_attn_table(512, 12, 32, jnp.bfloat16) is True
+    mp._store_verdict(key, False)
+    boom = lambda *a, **k: (_ for _ in ()).throw(AssertionError("probed"))
+    monkeypatch.setattr(mp, "_run_probe", boom)
+    assert fused_attn_supported(512, 12, 32, jnp.bfloat16) is False
+
+
+def test_run_probe_classifies_environment_failures(monkeypatch):
+    """Child died BEFORE the compile step (no READY marker): environmental
+    → None. Died after READY: definitive compile failure → False."""
+    import subprocess as sp
+
+    class R:
+        def __init__(self, stdout, rc):
+            self.stdout, self.stderr, self.returncode = stdout, "boom", rc
+
+    monkeypatch.setattr(sp, "run", lambda *a, **k: R("", 1))
+    assert mp._run_probe(128, 12, 32, "bfloat16", False) is None
+    monkeypatch.setattr(sp, "run",
+                        lambda *a, **k: R("MOSAIC_PROBE_READY\n", 1))
+    assert mp._run_probe(128, 12, 32, "bfloat16", False) is False
+    monkeypatch.setattr(
+        sp, "run",
+        lambda *a, **k: R("MOSAIC_PROBE_READY\nMOSAIC_PROBE_OK\n", 0))
+    assert mp._run_probe(128, 12, 32, "bfloat16", False) is True
 
 
 def test_probe_disabled_env(on_tpu, monkeypatch):
