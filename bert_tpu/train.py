@@ -68,14 +68,20 @@ def make_train_step(
     compute_dtype=jnp.float32,
     use_pallas: Optional[bool] = False,
     remat: bool = True,
+    jit: bool = True,
 ):
-    """Pure (state, batch) → (state, metrics) step, jit/GSPMD-ready.
+    """Pure (state, batch) → (state, metrics) step, jitted by default.
 
     batch = {ids_a, mask_a, ids_b, mask_b}: positive sentence pairs.
     Per-layer rematerialization is on by default (jax.checkpoint on the
     scanned encoder layer): backward-pass activation residency becomes
     O(1) in depth, which is what lets large batch × long sequence training
     fit HBM — the classic FLOPs-for-memory trade.
+
+    ``jit=False`` returns the raw python step for callers that apply their
+    own jit with explicit shardings (make_sharded_train_step) — calling
+    the raw step directly re-traces eagerly every time (~10x slower even
+    single-device).
     """
 
     def loss_fn(params, batch):
@@ -100,7 +106,7 @@ def make_train_step(
             {"loss": loss, "grad_norm": gnorm},
         )
 
-    return train_step
+    return jax.jit(train_step) if jit else train_step
 
 
 def make_sharded_train_step(
@@ -150,7 +156,8 @@ def make_sharded_train_step(
                         step=jax.device_put(state.step, _sh(P())))
 
     step_fn = make_train_step(config, optimizer, temperature=temperature,
-                              compute_dtype=compute_dtype, use_pallas=False)
+                              compute_dtype=compute_dtype, use_pallas=False,
+                              jit=False)
     batch_sh = _sh(batch_pspec("data"))
     jitted = jax.jit(
         step_fn,
