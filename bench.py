@@ -305,20 +305,22 @@ def main() -> None:
                       "error": str(exc)})
 
     # device-side rate (slope-timed, transfer-free): the per-chip number
-    # the e2e figure approaches as d2h ceases to dominate (docs/PERF.md)
-    try:
-        dev = measure_device_side("minilm_l6")
-        extra.append({
-            "metric": "device_side_sentences_per_sec_minilm_l6_q4_0",
-            "value": round(dev, 1),
-            "unit": "sentences/s",
-            "vs_baseline": round(dev / BASELINE_SENTENCES_PER_SEC, 2),
-        })
-    except Exception as exc:  # noqa: BLE001
-        log(f"device-side measurement failed: {exc!r}")
-        extra.append({
-            "metric": "device_side_sentences_per_sec_minilm_l6_q4_0",
-            "error": str(exc)})
+    # the e2e figure approaches as d2h ceases to dominate (docs/PERF.md).
+    # bge-large included per VERDICT r2 #5 (smaller row block: 24 layers x
+    # D=1024 at 512 rows would make each scan step ~9s)
+    for name, rows in (("minilm_l6", 512), ("bge_large", 128)):
+        metric = f"device_side_sentences_per_sec_{name}_q4_0"
+        try:
+            dev = measure_device_side(name, rows=rows)
+            extra.append({
+                "metric": metric,
+                "value": round(dev, 1),
+                "unit": "sentences/s",
+                "vs_baseline": round(dev / MODELS[name][4], 2),
+            })
+        except Exception as exc:  # noqa: BLE001
+            log(f"device-side {name} measurement failed: {exc!r}")
+            extra.append({"metric": metric, "error": str(exc)})
 
     print(json.dumps({
         "metric": "sentences_per_sec_minilm_l6_q4_0",
