@@ -69,17 +69,24 @@ class BatchingScheduler:
     """Collects (text, future) requests and evaluates them in micro-batches."""
 
     def __init__(self, model, *, max_batch: int = 64,
-                 batch_window_ms: float = 2.0, pipeline_depth: int = 1):
+                 batch_window_ms: float = 2.0, pipeline_depth: int = 1,
+                 queue_depth: Optional[int] = None):
         self.model = model
         self.max_batch = max_batch
         self.batch_window = batch_window_ms / 1000.0
+        # bounded queue = backpressure: when ~128 micro-batches of work are
+        # already pending, submit() suspends its connection handler instead
+        # of buffering unboundedly (a flood of framed BATCH messages would
+        # otherwise grow host memory without limit); the TCP receive window
+        # then pushes back on the client
+        self.queue_depth = queue_depth or max_batch * 128
         # micro-batches allowed in flight concurrently. >1 lets batch
         # N+1's tokenize/pack/dispatch overlap batch N's device compute —
         # useful on compute-bound production hosts; measured NEUTRAL-to-
         # NEGATIVE on tunnel-attached dev boxes (concurrent result
         # transfers contend on the link), hence default 1.
         self.pipeline_depth = max(1, pipeline_depth)
-        self.queue: asyncio.Queue = asyncio.Queue()
+        self.queue: asyncio.Queue = asyncio.Queue(maxsize=self.queue_depth)
         self._task: Optional[asyncio.Task] = None
         # strong refs to in-flight eval tasks: the event loop only keeps
         # weak references, so an unreferenced task can be GC'd mid-flight
@@ -228,13 +235,13 @@ class BatchingScheduler:
 class EmbeddingServer:
     def __init__(self, model, host: str = "0.0.0.0", port: int = 8085,
                  *, max_batch: int = 64, batch_window_ms: float = 2.0,
-                 pipeline_depth: int = 1):
+                 pipeline_depth: int = 1, queue_depth: Optional[int] = None):
         self.model = model
         self.host = host
         self.port = port
         self.scheduler = BatchingScheduler(
             model, max_batch=max_batch, batch_window_ms=batch_window_ms,
-            pipeline_depth=pipeline_depth,
+            pipeline_depth=pipeline_depth, queue_depth=queue_depth,
         )
         self._server: Optional[asyncio.AbstractServer] = None
 

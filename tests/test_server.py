@@ -276,6 +276,28 @@ def test_framed_stats2_latency(model):
     assert 0 < p50 <= p95 <= p99 < 60_000_000  # sane µs values
 
 
+def test_bounded_queue_backpressure(model):
+    """16x more work than queue_depth still completes: submit() suspends
+    on the bounded queue (backpressure) instead of buffering unboundedly,
+    while the consumer loop keeps draining — no deadlock, no loss."""
+    from bert_tpu.server import BatchingScheduler
+
+    async def go():
+        sched = BatchingScheduler(model, max_batch=4, batch_window_ms=0.5,
+                                  queue_depth=4)
+        assert sched.queue.maxsize == 4
+        sched.start()
+        try:
+            return await asyncio.gather(
+                *[sched.submit(f"the store number {i}") for i in range(64)])
+        finally:
+            await sched.stop()
+
+    outs = asyncio.run(go())
+    assert len(outs) == 64
+    assert all(o.shape == (CFG.n_embd,) for o in outs)
+
+
 def test_pipelined_frames_in_one_segment(model):
     """Two framed messages written in ONE TCP segment must both get
     replies (ADVICE r1: the old reader dropped leftover bytes)."""
