@@ -55,6 +55,23 @@ def test_finetune_then_serve(ft, dense_model, tmp_path):
     np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-4)
 
 
+def test_finetune_sharded_branch(ft, dense_model, tmp_path):
+    """--dp/--tp routes through make_sharded_train_step on the virtual
+    8-device mesh; the run completes and writes a loadable cache."""
+    logging.disable(logging.WARNING)
+    try:
+        out = str(tmp_path / "tuned_dp.npz")
+        r = ft.main(["-m", dense_model, "--steps", "2", "--batch", "8",
+                     "--seq", "32", "--dp", "2", "--tp", "2", "--out", out])
+    finally:
+        logging.disable(logging.NOTSET)
+    assert np.isfinite(r["last_loss"])
+
+    from bert_tpu import BertTPU
+
+    assert BertTPU.from_file(out).encode("the store").shape == (64,)
+
+
 def test_finetune_rejects_quantized(ft, tmp_path):
     from bert_tpu.formats import GgmlHParams, write_ggml
     from bert_tpu.params import BertConfig, random_named_tensors
