@@ -276,6 +276,20 @@ def test_framed_stats2_latency(model):
     assert 0 < p50 <= p95 <= p99 < 60_000_000  # sane µs values
 
 
+def test_stats2_percentiles_saturate_u32(model):
+    """A pathological multi-hour latency sample (tunnel degradation) must
+    saturate the u32 wire field, not blow up struct.pack in the STATS2
+    handler."""
+    from bert_tpu.server import BatchingScheduler
+
+    sched = BatchingScheduler(model)
+    sched.latencies.extend([0.001, 0.002, 5000.0])  # 5000 s > u32 µs max
+    n, p50, p95, p99 = sched.latency_percentiles_us()
+    assert n == 3 and p50 == 2000
+    assert p99 == 0xFFFFFFFF
+    struct.pack("<QQIIII", 0, 0, n, p50, p95, p99)  # packs cleanly
+
+
 def test_bounded_queue_backpressure(model):
     """16x more work than queue_depth still completes: submit() suspends
     on the bounded queue (backpressure) instead of buffering unboundedly,
