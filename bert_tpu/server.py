@@ -117,13 +117,17 @@ class BatchingScheduler:
         """(n, p50, p95, p99) in µs over the reservoir (zeros when empty)."""
         if not self.latencies:
             return 0, 0, 0, 0
+        import math
+
         ms = np.sort(np.asarray(self.latencies))
-        # clamp to the wire's u32: a pathological multi-hour latency (seen
+        # ceil rank: the tail percentile of a small reservoir must round UP
+        # to the worse sample (flooring made p99-of-3 report the median).
+        # Clamp to the wire's u32: a pathological multi-hour latency (seen
         # in tunnel degradation windows) must saturate, not explode the
-        # struct.pack in the STATS2 handler
+        # struct.pack in the STATS2 handler.
         pick = lambda q: min(0xFFFFFFFF,
                              int(ms[min(len(ms) - 1,
-                                        int(q * (len(ms) - 1)))] * 1e6))
+                                        math.ceil(q * (len(ms) - 1)))] * 1e6))
         return len(ms), pick(0.50), pick(0.95), pick(0.99)
 
     async def submit_many(self, payloads: Sequence[Union[str, List[int]]]
