@@ -1,5 +1,5 @@
 """Headline benchmark: sentences/s on all-MiniLM-L6-v2 Q4_0, single chip,
-plus a model sweep (MiniLM-L12, bert-base) matching BASELINE.md's three
+plus a model sweep (MiniLM-L12, bert-base, bge-large) matching BASELINE.md's
 model sections.
 
 Mirrors the reference's benchmark protocol (benchmarks/run_mteb.py measures
@@ -9,20 +9,44 @@ sentences/s on the reference CPU at 6 threads). Here: the same number of
 sentences with an STSB-like length distribution, end-to-end through
 BertTPU.encode_batch (host tokenization + bucketed batching + TPU eval).
 
-Prints ONE JSON line: the headline MiniLM-L6 metric, with the sweep under
-"extra_metrics":
-  {"metric": ..., "value": N, "unit": "sentences/s", "vs_baseline": N/506,
-   "extra_metrics": [{..L12..}, {..bert-base..}]}
+Prints ONE JSON line (the headline MiniLM-L6 metric, sweep under
+"extra_metrics") — and is DRIVER-PROOF (VERDICT r3 #1): round 3 recorded
+nothing because the driver's timeout killed the old all-or-nothing script
+while it waited out a tunnel degradation window. Now:
+
+  * every metric is checkpointed to a last-known-good cache the moment it
+    lands (~/.cache/bert_tpu/bench_lkg.json, seeded from the committed
+    BENCH_r02.json if absent);
+  * a watchdog thread enforces a hard wall budget (BENCH_MAX_WALL_S,
+    default 1380 s — under the driver's observed ~1800 s timeout) and, on
+    expiry, prints the cumulative snapshot and exits 0 — even if the main
+    thread is blocked inside a device call;
+  * SIGTERM/SIGINT do the same, so `timeout`-style kills still yield a
+    parseable line;
+  * metrics not measured this run are filled from the LKG cache with
+    "stale": true and their original timestamp — a reader can always tell
+    a fresh number from a carried one;
+  * the tunnel pre-flight and all retry sleeps are clamped to the budget.
 
 No network: models are shape-identical with seeded random weights
 quantized to Q4_0 through the full ggml-bin file path (write → load →
 repack), and sentences are sampled from the fixture vocabulary. Compute
 cost is identical to the real checkpoints at these shapes.
+
+Env knobs (all optional):
+  BENCH_MAX_WALL_S     hard wall budget, seconds (default 1380)
+  BENCH_TUNNEL_WAIT_S  max pre-flight tunnel wait (default 480, clamped)
+  BENCH_HEALTHY_FLOOR  sentences/s below which a trial counts as degraded
+  BENCH_N_SENTENCES    corpus size (default 2758 = STSB test split)
+  BENCH_STAGES         csv subset of stages to run (default: all) —
+                       headline,int8wire,streaming,device,sweep
 """
 
 import json
 import os
+import signal
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -40,7 +64,8 @@ BASELINE_BASE = 2758 / 33.93         # ≈ 81/s
 # (a ~3.6x-larger model would run the reference strictly slower), per
 # VERDICT r2 #5.
 BASELINE_BGE_LARGE = BASELINE_BASE
-N_SENTENCES = 2758  # STSB test split sentence count
+
+HEADLINE_METRIC = "sentences_per_sec_minilm_l6_q4_0"
 
 MODELS = {
     # name → (n_embd, n_intermediate, n_head, n_layer, baseline)
@@ -50,10 +75,188 @@ MODELS = {
     "bge_large": (1024, 4096, 16, 24, BASELINE_BGE_LARGE),
 }
 
+BASELINE_BY_METRIC = {
+    HEADLINE_METRIC: BASELINE_SENTENCES_PER_SEC,
+    "sentences_per_sec_minilm_l12_q4_0": BASELINE_L12,
+    "sentences_per_sec_bert_base_q4_0": BASELINE_BASE,
+    "sentences_per_sec_bge_large_q4_0": BASELINE_BGE_LARGE,
+    "sentences_per_sec_minilm_l6_q4_0_int8wire": BASELINE_SENTENCES_PER_SEC,
+    "streaming_sentences_per_sec_minilm_l6_q4_0": BASELINE_SENTENCES_PER_SEC,
+    "device_side_sentences_per_sec_minilm_l6_q4_0":
+        BASELINE_SENTENCES_PER_SEC,
+    "device_side_sentences_per_sec_bge_large_q4_0": BASELINE_BGE_LARGE,
+}
+# emission order for extra_metrics (headline excluded)
+EXTRA_ORDER = [m for m in BASELINE_BY_METRIC if m != HEADLINE_METRIC]
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
+
+# ---------------------------------------------------------------------------
+# snapshot / checkpoint / watchdog machinery (VERDICT r3 #1)
+# ---------------------------------------------------------------------------
+
+T_START = time.time()
+BUDGET_S = float(os.environ.get("BENCH_MAX_WALL_S", "1380"))
+# keep a margin so the snapshot print + interpreter teardown beat the driver
+WATCHDOG_MARGIN_S = 20.0
+
+_LOCK = threading.RLock()  # reentrant: a signal can land mid-emit
+_MEASURED: dict = {}      # metric name → {"value": .., "unit": ..} (fresh)
+_ERRORS: dict = {}        # metric name → error string (this run)
+_EMITTED = False
+
+
+def _lkg_path() -> str:
+    override = os.environ.get("BENCH_LKG_PATH")
+    if override:
+        return override
+    base = os.environ.get(
+        "BERT_TPU_CACHE_DIR", os.path.expanduser("~/.cache/bert_tpu"))
+    return os.path.join(base, "bench_lkg.json")
+
+
+def _load_lkg() -> dict:
+    """Last-known-good metrics measured on THIS box by a previous run.
+
+    Seeded from the committed BENCH_r02.json (the last driver-captured run)
+    if the cache doesn't exist yet, so even a first run inside a dead
+    tunnel window reports traceable numbers rather than nothing."""
+    path = _lkg_path()
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        pass
+    seed = {}
+    try:
+        rec_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_r02.json")
+        with open(rec_path) as f:
+            parsed = json.load(f)["parsed"]
+        rows = [parsed] + list(parsed.get("extra_metrics", []))
+        for row in rows:
+            if "value" in row and "metric" in row:
+                seed[row["metric"]] = {
+                    "value": row["value"], "unit": row["unit"],
+                    "measured_at": "BENCH_r02.json (driver round-2 run)",
+                }
+    except (OSError, ValueError, KeyError) as exc:
+        log(f"LKG seed from BENCH_r02.json unavailable: {exc!r}")
+    return seed
+
+
+_LKG = _load_lkg()
+
+
+def _store_lkg() -> None:
+    path = _lkg_path()
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        merged = dict(_LKG)
+        stamp = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        for name, row in _MEASURED.items():
+            merged[name] = {**row, "measured_at": stamp}
+        with open(tmp, "w") as f:
+            json.dump(merged, f, indent=1)
+        os.replace(tmp, path)
+    except OSError as exc:
+        log(f"LKG store failed: {exc!r}")
+
+
+def record_metric(name: str, value: float, unit: str = "sentences/s") -> None:
+    """Checkpoint a finished metric IMMEDIATELY (crash-safe)."""
+    with _LOCK:
+        prev = _MEASURED.get(name, {}).get("value", 0.0)
+        _MEASURED[name] = {"value": round(max(value, prev), 1), "unit": unit}
+        _ERRORS.pop(name, None)
+    _store_lkg()
+    log(f"[checkpoint] {name} = {value:.1f} {unit}")
+
+
+def record_error(name: str, err: str) -> None:
+    with _LOCK:
+        if name not in _MEASURED:
+            _ERRORS[name] = err
+
+
+def _metric_row(name: str) -> dict:
+    base = BASELINE_BY_METRIC.get(name, BASELINE_SENTENCES_PER_SEC)
+    if name in _MEASURED:
+        row = dict(_MEASURED[name])
+        row["vs_baseline"] = round(row["value"] / base, 2)
+        return {"metric": name, **row}
+    if name in _LKG:
+        row = {k: _LKG[name][k] for k in ("value", "unit")}
+        row["vs_baseline"] = round(row["value"] / base, 2)
+        row["stale"] = True
+        row["measured_at"] = _LKG[name].get("measured_at", "unknown")
+        if name in _ERRORS:
+            row["this_run_error"] = _ERRORS[name]
+        return {"metric": name, **row}
+    row = {"metric": name, "value": 0.0, "unit": "sentences/s",
+           "vs_baseline": 0.0,
+           "error": _ERRORS.get(name, "not measured within wall budget")}
+    return row
+
+
+def emit_snapshot(reason: str = "") -> None:
+    """Print THE one JSON line from the current state. Idempotent — the
+    first caller (main completion, watchdog, or signal handler) wins."""
+    global _EMITTED
+    with _LOCK:
+        if _EMITTED:
+            return
+        _EMITTED = True
+        if reason:
+            log(f"emitting snapshot ({reason}) at "
+                f"t+{time.time() - T_START:.0f}s")
+        head = _metric_row(HEADLINE_METRIC)
+        extras = [_metric_row(m) for m in EXTRA_ORDER]
+        out = dict(head)
+        out["extra_metrics"] = extras
+        # print under the lock so a concurrent watchdog os._exit cannot
+        # truncate the line mid-write (it blocks here until we finish)
+        print(json.dumps(out), flush=True)
+
+
+def remaining_s() -> float:
+    return BUDGET_S - (time.time() - T_START)
+
+
+def _watchdog() -> None:
+    while True:
+        left = remaining_s() - WATCHDOG_MARGIN_S
+        if left <= 0:
+            # idempotent: if main already printed, this is a no-op (it
+            # blocks on the emit lock until any in-flight print finishes)
+            emit_snapshot("wall budget expired — watchdog")
+            # main thread may be wedged inside a device call; hard-exit
+            os._exit(0)
+        time.sleep(max(0.1, min(5.0, left)))
+
+
+def _on_signal(signum, frame):  # noqa: ARG001
+    emit_snapshot(f"signal {signum}")
+    os._exit(0)
+
+
+def install_guards() -> None:
+    threading.Thread(target=_watchdog, daemon=True,
+                     name="bench-watchdog").start()
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _on_signal)
+        except (ValueError, OSError):
+            pass  # non-main thread / exotic platform
+
+
+# ---------------------------------------------------------------------------
+# measurement stages
+# ---------------------------------------------------------------------------
 
 def build_model_file(path: str, name: str = "minilm_l6") -> None:
     from bert_tpu.formats import GgmlHParams, write_ggml
@@ -82,9 +285,10 @@ def synth_sentences(n: int, seed: int = 0):
 
 def measure_model(name: str, sentences, *, trials: int,
                   healthy_floor: float, retries: int,
-                  wire_dtype: str = None) -> float:
+                  metric: str, wire_dtype: str = None) -> float:
     """Best sentences/s for one model over the corpus, with tunnel-window
-    retries (docs/PERF.md "Environment artifacts")."""
+    retries (docs/PERF.md "Environment artifacts"). Checkpoints the metric
+    after EVERY trial, so a mid-stage kill keeps the best-so-far."""
     from bert_tpu import BertTPU
 
     path = f"/tmp/bench_{name}_q4_0.bin"
@@ -110,8 +314,13 @@ def measure_model(name: str, sentences, *, trials: int,
             dt = time.time() - t0
             sps = len(sentences) / dt
             log(f"[{name}] trial {trial}: {dt:.3f}s → {sps:.0f} sentences/s")
-            best = max(best, sps)
+            if sps > best:
+                best = sps
+                record_metric(metric, best)
         if best >= healthy_floor or attempt == retries:
+            break
+        if remaining_s() < 120:
+            log(f"[{name}] degraded but budget too low to retry")
             break
         log(f"[{name}] all trials degraded (best {best:.0f}/s) — tunnel "
             "likely in a bad window, retrying in 90s")
@@ -180,9 +389,12 @@ def wait_for_healthy_tunnel(max_wait_s: float) -> bool:
     >15 min. Probe a ~2 MB device→host transfer; healthy is <10 s
     (typical: <1 s). Returns True if healthy, False if the wait budget
     ran out (the bench proceeds anyway — the per-trial retry logic is
-    the second line of defense)."""
+    the second line of defense). The wait is ALSO clamped so at least
+    ~2/3 of the wall budget stays available for measuring (r3 lesson:
+    the old 1800-s default ate the whole driver timeout)."""
     import subprocess
 
+    max_wait_s = min(max_wait_s, max(0.0, remaining_s() - BUDGET_S * 2 / 3))
     probe = ("import time,jax,jax.numpy as jnp,numpy as np\n"
              "t0=time.time()\n"
              "x=jax.device_put(jnp.ones((1024,512),jnp.float32))\n"
@@ -197,7 +409,7 @@ def wait_for_healthy_tunnel(max_wait_s: float) -> bool:
         try:
             out = subprocess.run(
                 [sys.executable, "-c", probe], capture_output=True,
-                text=True, timeout=150)
+                text=True, timeout=min(150, max(10, deadline - time.time())))
             dt = float(out.stdout.strip().splitlines()[-1])
             # subtract nothing: dt includes the ~11s first-d2h process
             # init, so the healthy threshold is generous
@@ -212,21 +424,41 @@ def wait_for_healthy_tunnel(max_wait_s: float) -> bool:
             log(f"tunnel wait budget ({max_wait_s:.0f}s) exhausted after "
                 f"{attempt} probes — proceeding degraded")
             return False
-        time.sleep(min(120, max(10, deadline - time.time())))
+        time.sleep(min(60, max(5, deadline - time.time())))
+
+
+# ---------------------------------------------------------------------------
+# main
+# ---------------------------------------------------------------------------
+
+def _stage_enabled(stage: str) -> bool:
+    sel = os.environ.get("BENCH_STAGES", "").strip()
+    return not sel or stage in {s.strip() for s in sel.split(",")}
 
 
 def main() -> None:
     import logging
 
     logging.disable(logging.WARNING)  # silence per-token unknown warnings
+    install_guards()
 
     # pre-flight: don't start a bench inside a tunnel degradation window
-    # (r2's L6 warmup took 1004s in one; healthy is ~250s for the suite)
-    if os.environ.get("JAX_PLATFORMS", "").lower().split(",")[0] != "cpu":
-        wait_for_healthy_tunnel(
-            float(os.environ.get("BENCH_TUNNEL_WAIT_S", "1800")))
+    # (r2's L6 warmup took 1004s in one) — bounded AND budget-clamped
+    if os.environ.get("JAX_PLATFORMS", "").lower().split(",")[0] == "cpu":
+        # the env var alone does NOT override an installed TPU plugin
+        # (same contract as tests/conftest.py and eval_common.py) — without
+        # this, a "CPU" bench silently initializes the tunnel backend and
+        # can sleep forever inside its retry loop
+        import jax
 
-    sentences = synth_sentences(N_SENTENCES)
+        jax.config.update("jax_platforms",
+                          os.environ["JAX_PLATFORMS"].lower())
+    else:
+        wait_for_healthy_tunnel(
+            float(os.environ.get("BENCH_TUNNEL_WAIT_S", "480")))
+
+    n_sent = int(os.environ.get("BENCH_N_SENTENCES", "2758"))
+    sentences = synth_sentences(n_sent)
     # The "healthy" floor is for THIS tunneled box: healthy runs measure
     # 17-21k on MiniLM-L6, degraded-tunnel windows ~11k (observed: L6
     # "slower" than L12 in the same sweep — clearly environmental). Below
@@ -234,101 +466,94 @@ def main() -> None:
     # reports the best anyway. Override via env for other environments.
     floor = float(os.environ.get("BENCH_HEALTHY_FLOOR", "14000"))
 
-    best = measure_model("minilm_l6", sentences, trials=5,
-                         healthy_floor=floor, retries=2)
-
-    # model sweep (BASELINE.md's sections + the bge-large class the
-    # head-chunked kernel targets) — best-effort: a sweep failure must
-    # not lose the headline metric
-    extra = []
-    for name in ("minilm_l12", "bert_base", "bge_large"):
-        _, _, _, _, baseline = MODELS[name]
+    # 1. headline FIRST — checkpointed per-trial inside measure_model
+    if _stage_enabled("headline"):
         try:
-            sps = measure_model(name, sentences,
-                                trials=2 if name == "bge_large" else 3,
-                                healthy_floor=floor * baseline / 506.0,
-                                retries=1)
-            extra.append({
-                "metric": f"sentences_per_sec_{name}_q4_0",
-                "value": round(sps, 1),
-                "unit": "sentences/s",
-                "vs_baseline": round(sps / baseline, 2),
-            })
+            measure_model("minilm_l6", sentences, trials=5,
+                          healthy_floor=floor, retries=2,
+                          metric=HEADLINE_METRIC)
         except Exception as exc:  # noqa: BLE001
-            log(f"[{name}] sweep failed: {exc!r}")
-            extra.append({"metric": f"sentences_per_sec_{name}_q4_0",
-                          "error": str(exc)})
+            log(f"headline measurement failed: {exc!r}")
+            record_error(HEADLINE_METRIC, str(exc))
 
-    # int8 wire: the bulk-indexing deployment point — quarters the d2h
+    # 2. int8 wire: the bulk-indexing deployment point — quarters the d2h
     # bytes that dominate e2e on this box (measured STS impact: +0.006
     # Spearman, noise-level — docs/PERF.md "wire dtype")
-    try:
-        sps = measure_model("minilm_l6", sentences, trials=3,
-                            healthy_floor=floor, retries=1,
-                            wire_dtype="int8")
-        extra.append({
-            "metric": "sentences_per_sec_minilm_l6_q4_0_int8wire",
-            "value": round(sps, 1),
-            "unit": "sentences/s",
-            "vs_baseline": round(sps / BASELINE_SENTENCES_PER_SEC, 2),
-        })
-    except Exception as exc:  # noqa: BLE001
-        log(f"int8-wire measurement failed: {exc!r}")
-        extra.append({"metric": "sentences_per_sec_minilm_l6_q4_0_int8wire",
-                      "error": str(exc)})
-
-    # streaming bulk-indexing rate (engine.encode_iter): the corpus-scale
-    # workload with O(window) memory — must hold ≥~95% of the bulk rate
-    try:
-        from bert_tpu import BertTPU
-
-        model = BertTPU.from_file("/tmp/bench_minilm_l6_q4_0.bin",
-                                  max_batch=2048)
-        big = sentences * 4  # 11,032 sentences, > 2 windows
-        list(model.encode_iter(sentences, window=2048))  # warm
-        t0 = time.time()
-        n_done = sum(len(b) for b in model.encode_iter(big, window=2048))
-        dt = time.time() - t0
-        assert n_done == len(big)
-        sps = n_done / dt
-        log(f"[minilm_l6] streaming {n_done} sentences in {dt:.2f}s "
-            f"→ {sps:.0f}/s")
-        extra.append({
-            "metric": "streaming_sentences_per_sec_minilm_l6_q4_0",
-            "value": round(sps, 1),
-            "unit": "sentences/s",
-            "vs_baseline": round(sps / BASELINE_SENTENCES_PER_SEC, 2),
-        })
-    except Exception as exc:  # noqa: BLE001
-        log(f"streaming measurement failed: {exc!r}")
-        extra.append({"metric": "streaming_sentences_per_sec_minilm_l6_q4_0",
-                      "error": str(exc)})
-
-    # device-side rate (slope-timed, transfer-free): the per-chip number
-    # the e2e figure approaches as d2h ceases to dominate (docs/PERF.md).
-    # bge-large included per VERDICT r2 #5 (smaller row block: 24 layers x
-    # D=1024 at 512 rows would make each scan step ~9s)
-    for name, rows in (("minilm_l6", 512), ("bge_large", 128)):
-        metric = f"device_side_sentences_per_sec_{name}_q4_0"
+    if _stage_enabled("int8wire") and remaining_s() > 90:
+        m = "sentences_per_sec_minilm_l6_q4_0_int8wire"
         try:
-            dev = measure_device_side(name, rows=rows)
-            extra.append({
-                "metric": metric,
-                "value": round(dev, 1),
-                "unit": "sentences/s",
-                "vs_baseline": round(dev / MODELS[name][4], 2),
-            })
+            measure_model("minilm_l6", sentences, trials=3,
+                          healthy_floor=floor, retries=1,
+                          metric=m, wire_dtype="int8")
         except Exception as exc:  # noqa: BLE001
-            log(f"device-side {name} measurement failed: {exc!r}")
-            extra.append({"metric": metric, "error": str(exc)})
+            log(f"int8-wire measurement failed: {exc!r}")
+            record_error(m, str(exc))
 
-    print(json.dumps({
-        "metric": "sentences_per_sec_minilm_l6_q4_0",
-        "value": round(best, 1),
-        "unit": "sentences/s",
-        "vs_baseline": round(best / BASELINE_SENTENCES_PER_SEC, 2),
-        "extra_metrics": extra,
-    }))
+    # 3. streaming bulk-indexing rate (engine.encode_iter): the
+    # corpus-scale workload with O(window) memory — must hold ≥~95% of
+    # the bulk rate
+    if _stage_enabled("streaming") and remaining_s() > 120:
+        m = "streaming_sentences_per_sec_minilm_l6_q4_0"
+        try:
+            from bert_tpu import BertTPU
+
+            model = BertTPU.from_file("/tmp/bench_minilm_l6_q4_0.bin",
+                                      max_batch=2048)
+            big = sentences * 4  # >2 windows in flight
+            list(model.encode_iter(sentences, window=2048))  # warm
+            t0 = time.time()
+            n_done = sum(len(b) for b in model.encode_iter(big, window=2048))
+            dt = time.time() - t0
+            assert n_done == len(big)
+            sps = n_done / dt
+            log(f"[minilm_l6] streaming {n_done} sentences in {dt:.2f}s "
+                f"→ {sps:.0f}/s")
+            record_metric(m, sps)
+        except Exception as exc:  # noqa: BLE001
+            log(f"streaming measurement failed: {exc!r}")
+            record_error(m, str(exc))
+
+    # 4. device-side rates (slope-timed, transfer-free): the per-chip
+    # number the e2e figure approaches as d2h ceases to dominate
+    # (docs/PERF.md). bge-large per VERDICT r2 #5 / r3 #6 (smaller row
+    # block: 24 layers x D=1024 at 512 rows would make a scan step ~9s).
+    if _stage_enabled("device"):
+        for name, rows, est in (("minilm_l6", 512, 60),
+                                ("bge_large", 128, 240)):
+            m = f"device_side_sentences_per_sec_{name}_q4_0"
+            if remaining_s() < est:
+                log(f"device-side {name} skipped (budget)")
+                record_error(m, "skipped: wall budget")
+                continue
+            try:
+                if not os.path.exists(f"/tmp/bench_{name}_q4_0.bin"):
+                    build_model_file(f"/tmp/bench_{name}_q4_0.bin", name)
+                record_metric(m, measure_device_side(name, rows=rows))
+            except Exception as exc:  # noqa: BLE001
+                log(f"device-side {name} measurement failed: {exc!r}")
+                record_error(m, str(exc))
+
+    # 5. model sweep e2e (BASELINE.md's sections + the bge-large class the
+    # head-chunked kernel targets) — best-effort, budget-gated per model
+    if _stage_enabled("sweep"):
+        for name, est in (("minilm_l12", 90), ("bert_base", 150),
+                          ("bge_large", 300)):
+            m = f"sentences_per_sec_{name}_q4_0"
+            if remaining_s() < est:
+                log(f"sweep {name} skipped (budget)")
+                record_error(m, "skipped: wall budget")
+                continue
+            _, _, _, _, baseline = MODELS[name]
+            try:
+                measure_model(name, sentences,
+                              trials=2 if name == "bge_large" else 3,
+                              healthy_floor=floor * baseline / 506.0,
+                              retries=1, metric=m)
+            except Exception as exc:  # noqa: BLE001
+                log(f"[{name}] sweep failed: {exc!r}")
+                record_error(m, str(exc))
+
+    emit_snapshot("run complete")
 
 
 if __name__ == "__main__":

@@ -52,6 +52,7 @@ def spearman(a: np.ndarray, b: np.ndarray) -> float:
 
 def main() -> None:
     from eval_common import (
+        ARCHS,
         DATA_DIR,
         MODES,
         default_fixture_model,
@@ -65,6 +66,9 @@ def main() -> None:
     ap.add_argument("--fixture", action="store_true",
                     help="build the offline random-weight fixture model "
                     "(vocab derived from the dataset)")
+    ap.add_argument("--arch", default="minilm_l6", choices=sorted(ARCHS),
+                    help="fixture model architecture (VERDICT r3 #4: the "
+                    "reference's largest quant deltas are on bert-base)")
     ap.add_argument("pairs", nargs="?",
                     default=os.path.join(DATA_DIR, "sts_en.tsv"),
                     help="TSV: sentence1<TAB>sentence2<TAB>score "
@@ -76,7 +80,7 @@ def main() -> None:
 
     s1, s2, gold = read_pairs(args.pairs)
     if args.fixture:
-        args.model = default_fixture_model()
+        args.model = default_fixture_model(args.arch)
     elif not args.model:
         ap.error("need -m MODEL or --fixture")
 
@@ -96,10 +100,13 @@ def main() -> None:
     out_dir = result_dir(args.model, args.mode)
     task = ("STSLocalEn"
             if os.path.basename(args.pairs) == "sts_en.tsv" else "STSLocal")
+    import jax
+
     payload = {
         "test": {"cos_sim": {"spearman": rho},
                  "evaluation_time": round(dt, 2)},
         "n_pairs": len(s1),
+        "backend": jax.default_backend(),  # result provenance
     }
     if args.mode == "f16":
         payload["compute_note"] = ("mode 'f16' is the reference label; on "

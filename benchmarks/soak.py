@@ -172,13 +172,28 @@ def main() -> None:
         t.join()
 
     total = sum(counts)
-    c = socket.create_connection((host, port), timeout=30)
-    _recv_exact(c, 4)
-    c.sendall(BIN_STATS2)
-    resp = _recv_exact(c, 36)
-    served, batches, lat_n, sp50, sp95, sp99 = struct.unpack(
-        "<QQIIII", resp[4:36])
-    c.close()
+    # STATS2 first; fall back to the legacy 20-byte STATS frame so a soak
+    # against a pre-STATS2 server (--connect mode) still yields its full
+    # client-side report instead of dying on the unknown magic after the
+    # whole measurement has run (ADVICE r3)
+    lat_n = sp50 = sp95 = sp99 = None
+    try:
+        c = socket.create_connection((host, port), timeout=30)
+        _recv_exact(c, 4)
+        c.sendall(BIN_STATS2)
+        resp = _recv_exact(c, 36)
+        served, batches, lat_n, sp50, sp95, sp99 = struct.unpack(
+            "<QQIIII", resp[4:36])
+        c.close()
+    except Exception as exc:  # noqa: BLE001 (old server closed on magic)
+        print(f"STATS2 unavailable ({exc!r}) — falling back to STATS",
+              file=sys.stderr)
+        c = socket.create_connection((host, port), timeout=30)
+        _recv_exact(c, 4)
+        c.sendall(BIN_STATS)
+        resp = _recv_exact(c, 20)
+        served, batches = struct.unpack("<QQ", resp[4:20])
+        c.close()
 
     def _lat_summary(samples):
         """p50/p95/p99/max (ms) + a log2 histogram — tail latency is the
@@ -214,8 +229,8 @@ def main() -> None:
         "batch_window_ms": None if args.connect else args.batch_window_ms,
         "latency_text": _lat_summary(text_lat),
         "latency_batch_frame": _lat_summary(frame_lat),
-        "server_latency_us": {"n": lat_n, "p50": sp50, "p95": sp95,
-                              "p99": sp99},
+        "server_latency_us": None if lat_n is None else
+            {"n": lat_n, "p50": sp50, "p95": sp95, "p99": sp99},
     }), flush=True)
     if errors:
         print("first errors:", errors[:5], file=sys.stderr)

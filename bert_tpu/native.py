@@ -118,7 +118,14 @@ class NativeWordPiece:
         threading moves that ceiling by ~#cores)."""
         n = len(texts)
         if n_threads is None:
-            env = int(os.environ.get("BERT_TPU_TOKENIZE_THREADS", "0"))
+            try:
+                env = int(os.environ.get("BERT_TPU_TOKENIZE_THREADS", "0"))
+            except ValueError:
+                # a malformed value (e.g. 'auto') must degrade to the
+                # default, not take down every tokenize call (ADVICE r3)
+                logger.warning("BERT_TPU_TOKENIZE_THREADS is not an int; "
+                               "using the auto default")
+                env = 0
             if env:
                 # explicit env override: honored as-is (like the kwarg) —
                 # the amortization threshold only gates the AUTO default

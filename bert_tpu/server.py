@@ -79,7 +79,10 @@ class BatchingScheduler:
         # of buffering unboundedly (a flood of framed BATCH messages would
         # otherwise grow host memory without limit); the TCP receive window
         # then pushes back on the client
-        self.queue_depth = queue_depth or max_batch * 128
+        # `is None` (not falsiness): an explicit queue_depth=0 keeps
+        # asyncio's conventional meaning — an unbounded queue (ADVICE r3)
+        self.queue_depth = (queue_depth if queue_depth is not None
+                            else max_batch * 128)
         # micro-batches allowed in flight concurrently. >1 lets batch
         # N+1's tokenize/pack/dispatch overlap batch N's device compute —
         # useful on compute-bound production hosts; measured NEUTRAL-to-

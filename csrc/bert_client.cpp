@@ -311,20 +311,24 @@ bool query_meta(bert_ctx *ctx) {
         // Secondary validation: a reference embedding whose first float
         // happens to equal the magic bytes would desync the stream if we
         // trusted the 4-byte match alone. A real META reply must carry a
-        // known version and echo the handshake's n_embd; anything else is
-        // treated as an embedding and the remainder drained below.
-        if (meta[0] == 1 && meta[1] == ctx->hp.n_embd && meta[2] > 0) {
+        // plausible version (>= 1: future framed servers stay loadable —
+        // ADVICE r3) and echo the handshake's n_embd.
+        if (meta[0] >= 1 && meta[1] == ctx->hp.n_embd && meta[2] > 0) {
             ctx->hp.n_max_tokens = meta[2];
             ctx->framed_ok = true;
             return true;
         }
-        size_t rest = sizeof(float) * static_cast<size_t>(ctx->hp.n_embd);
-        if (rest > 16) {  // 16 bytes (magic + meta) already consumed
-            std::vector<char> scratch(rest - 16);
-            if (!recv_all(ctx->fd, scratch.data(), rest - 16)) return false;
-        }
-        ctx->framed_ok = false;
-        return true;
+        // Magic matched but the fields are wrong. Draining a presumed
+        // embedding here would block up to the recv timeout on bytes a
+        // framed-but-incompatible peer never sends (ADVICE r3); the
+        // magic-colliding-float alternative has probability ~2^-32. Fail
+        // the load cleanly instead — the caller frees the ctx.
+        std::fprintf(stderr,
+                     "bert_client: META reply invalid (version=%d n_embd=%d "
+                     "n_max_tokens=%d, expected n_embd=%d) — incompatible "
+                     "server\n",
+                     meta[0], meta[1], meta[2], ctx->hp.n_embd);
+        return false;
     }
     // reference peer: drain the rest of the embedding it sent back
     size_t rest = sizeof(float) * static_cast<size_t>(ctx->hp.n_embd) - 4;
