@@ -69,13 +69,17 @@ def compute_goldens():
 
     named = random_named_tensors(cfg, seed=SEED)
     out = {"token_ids": np.asarray(ids)}
+    params_by_ftype = {}  # f32 and bf16 share the SAME dense params
     for variant, (ftype, dtype) in {
         "f32": (None, jnp.float32),
         "q4_0": (2, jnp.float32),
         "q4_1": (3, jnp.float32),
         "bf16": (None, jnp.bfloat16),
     }.items():
-        params = params_from_named_tensors(named, cfg, quantize_ftype=ftype)
+        if ftype not in params_by_ftype:
+            params_by_ftype[ftype] = params_from_named_tensors(
+                named, cfg, quantize_ftype=ftype)
+        params = params_by_ftype[ftype]
         emb = bert_forward(params, ids, mask, cfg, compute_dtype=dtype,
                            use_pallas=False)
         out[variant] = np.asarray(emb, np.float32)

@@ -64,13 +64,21 @@ def test_packed_forward_matches_unpacked(params):
         CFG, n_segments=8))
     packed_flat = packed.reshape(-1, CFG.n_embd)
 
+    # ONE padded+masked batch for all 12 reference forwards: per-length
+    # solo calls would jit-compile 12 distinct programs (~2s each on this
+    # 1-core box — VERDICT r3 #5); pad+mask equivalence to exact-shape is
+    # itself pinned by test_model.py::test_padding_invariance
+    max_len = max(len(t) for t in toks)
+    ref_ids = np.zeros((len(toks), max_len), np.int32)
+    ref_mask = np.zeros((len(toks), max_len), np.float32)
+    for i, t in enumerate(toks):
+        ref_ids[i, : len(t)] = t
+        ref_mask[i, : len(t)] = 1.0
+    ref = np.asarray(bert_forward(params, jnp.asarray(ref_ids),
+                                  jnp.asarray(ref_mask), CFG))
     for j, p in enumerate(plan.placements):
-        t = toks[p.index]
-        one_ids = jnp.asarray(np.asarray(t, np.int32)[None, :])
-        one_mask = jnp.ones((1, len(t)), jnp.float32)
-        solo = np.asarray(bert_forward(params, one_ids, one_mask, CFG))[0]
-        np.testing.assert_allclose(packed_flat[flat[j]], solo, atol=2e-5,
-                                   err_msg=f"sentence {p.index}")
+        np.testing.assert_allclose(packed_flat[flat[j]], ref[p.index],
+                                   atol=2e-5, err_msg=f"sentence {p.index}")
 
 
 def test_empty_segment_slots_are_zero(params):
