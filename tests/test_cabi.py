@@ -297,3 +297,75 @@ def test_hostport_mode_learns_n_max_tokens(libbert, model_file):
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+def test_invalid_meta_fails_load_fast(libbert):
+    """A framed-but-incompatible peer (META magic echoed, fields wrong —
+    here a mismatched n_embd) must FAIL the load promptly instead of
+    stalling in recv for an embedding that was never sent (ADVICE r3)."""
+    import socket
+    import struct
+    import threading
+    import time
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def fake_server():
+        conn, _ = srv.accept()
+        with conn:
+            conn.sendall(struct.pack("<i", 64))        # handshake n_embd
+            magic = conn.recv(4)
+            assert magic == b"\xb5\x87\xe3\x03"
+            # META echo with version ok but n_embd=32 != handshake's 64
+            conn.sendall(magic + struct.pack("<iii", 1, 32, 512))
+            conn.recv(1)  # linger until the client closes
+
+    t = threading.Thread(target=fake_server, daemon=True)
+    t.start()
+    try:
+        t0 = time.time()
+        handle = libbert.bert_load_from_file(f"127.0.0.1:{port}".encode())
+        dt = time.time() - t0
+        assert not handle, "load must fail on an invalid META reply"
+        assert dt < 10.0, f"load stalled {dt:.1f}s draining phantom bytes"
+    finally:
+        srv.close()
+        t.join(timeout=10)
+
+
+def test_future_meta_version_accepted(libbert):
+    """version >= 1 in the META reply is forward-compatible: a future
+    framed server must stay loadable (ADVICE r3)."""
+    import socket
+    import struct
+    import threading
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def fake_server():
+        conn, _ = srv.accept()
+        with conn:
+            conn.sendall(struct.pack("<i", 64))
+            magic = conn.recv(4)
+            conn.sendall(magic + struct.pack("<iii", 2, 64, 96))
+            conn.recv(1)
+
+    t = threading.Thread(target=fake_server, daemon=True)
+    t.start()
+    handle = None
+    try:
+        handle = libbert.bert_load_from_file(f"127.0.0.1:{port}".encode())
+        assert handle, "version=2 META must be accepted"
+        assert libbert.bert_n_max_tokens(handle) == 96  # learned, not 512
+        assert libbert.bert_n_embd(handle) == 64
+    finally:
+        if handle:
+            libbert.bert_free(handle)
+        srv.close()
+        t.join(timeout=10)

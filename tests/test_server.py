@@ -312,6 +312,17 @@ def test_bounded_queue_backpressure(model):
     assert all(o.shape == (CFG.n_embd,) for o in outs)
 
 
+def test_queue_depth_zero_means_unbounded(model):
+    """queue_depth=0 keeps asyncio's conventional meaning (unbounded),
+    not a silent coercion to the default bound (ADVICE r3)."""
+    from bert_tpu.server import BatchingScheduler
+
+    sched = BatchingScheduler(model, max_batch=4, queue_depth=0)
+    assert sched.queue.maxsize == 0          # asyncio: 0 = unbounded
+    default = BatchingScheduler(model, max_batch=4)
+    assert default.queue.maxsize == 4 * 128  # None → the default bound
+
+
 def test_pipelined_frames_in_one_segment(model):
     """Two framed messages written in ONE TCP segment must both get
     replies (ADVICE r1: the old reader dropped leftover bytes)."""
