@@ -124,12 +124,13 @@ def main() -> None:
         lt = r["latency_text"] or {"p50_ms": "—", "p95_ms": "—",
                                    "p99_ms": "—"}
         lf = r["latency_batch_frame"]
-        sp99 = r["server_latency_us"]["p99"] / 1e3
+        slat = r["server_latency_us"]  # None against a pre-STATS2 server
+        sp99 = f"{slat['p99'] / 1e3:.1f} ms" if slat else "—"
         fp99 = f"{lf['p99_ms']} ms" if lf else "—"
         print(f"| {r['window_ms']} ms | {r['load']} "
               f"| {r['sentences_per_sec']} "
               f"| {lt['p50_ms']} ms | {lt['p95_ms']} ms | {lt['p99_ms']} ms "
-              f"| {fp99} | {sp99:.1f} ms |")
+              f"| {fp99} | {sp99} |")
     print(f"\nwrote {args.out}")
 
 
