@@ -157,9 +157,7 @@ def _store_lkg() -> None:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = f"{path}.tmp.{os.getpid()}"
         merged = dict(_LKG)
-        stamp = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
-        for name, row in _MEASURED.items():
-            merged[name] = {**row, "measured_at": stamp}
+        merged.update(_MEASURED)  # rows carry their own measured_at stamp
         with open(tmp, "w") as f:
             json.dump(merged, f, indent=1)
         os.replace(tmp, path)
@@ -171,7 +169,11 @@ def record_metric(name: str, value: float, unit: str = "sentences/s") -> None:
     """Checkpoint a finished metric IMMEDIATELY (crash-safe)."""
     with _LOCK:
         prev = _MEASURED.get(name, {}).get("value", 0.0)
-        _MEASURED[name] = {"value": round(max(value, prev), 1), "unit": unit}
+        _MEASURED[name] = {
+            "value": round(max(value, prev), 1), "unit": unit,
+            # per-metric stamp at measurement time (not store time)
+            "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
         _ERRORS.pop(name, None)
     _store_lkg()
     log(f"[checkpoint] {name} = {value:.1f} {unit}")
@@ -189,11 +191,15 @@ def _metric_row(name: str) -> dict:
         row = dict(_MEASURED[name])
         row["vs_baseline"] = round(row["value"] / base, 2)
         return {"metric": name, **row}
-    if name in _LKG:
-        row = {k: _LKG[name][k] for k in ("value", "unit")}
+    # LKG rows are user-writable (BENCH_LKG_PATH) — validate shape; a
+    # malformed row must fall through to the zero row, never raise (the
+    # emit path runs inside the watchdog/signal handlers)
+    lkg = _LKG.get(name)
+    if isinstance(lkg, dict) and isinstance(lkg.get("value"), (int, float)):
+        row = {"value": lkg["value"], "unit": lkg.get("unit", "sentences/s")}
         row["vs_baseline"] = round(row["value"] / base, 2)
         row["stale"] = True
-        row["measured_at"] = _LKG[name].get("measured_at", "unknown")
+        row["measured_at"] = lkg.get("measured_at", "unknown")
         if name in _ERRORS:
             row["this_run_error"] = _ERRORS[name]
         return {"metric": name, **row}
@@ -232,16 +238,23 @@ def _watchdog() -> None:
         left = remaining_s() - WATCHDOG_MARGIN_S
         if left <= 0:
             # idempotent: if main already printed, this is a no-op (it
-            # blocks on the emit lock until any in-flight print finishes)
-            emit_snapshot("wall budget expired — watchdog")
-            # main thread may be wedged inside a device call; hard-exit
-            os._exit(0)
+            # blocks on the emit lock until any in-flight print finishes).
+            # try/finally: even if the emit itself raises (broken pipe,
+            # corrupt LKG), the hard-exit MUST happen — otherwise the
+            # budget is never enforced again and the r3 failure returns
+            try:
+                emit_snapshot("wall budget expired — watchdog")
+            finally:
+                # main thread may be wedged inside a device call; hard-exit
+                os._exit(0)
         time.sleep(max(0.1, min(5.0, left)))
 
 
 def _on_signal(signum, frame):  # noqa: ARG001
-    emit_snapshot(f"signal {signum}")
-    os._exit(0)
+    try:
+        emit_snapshot(f"signal {signum}")
+    finally:
+        os._exit(0)
 
 
 def install_guards() -> None:
@@ -444,7 +457,8 @@ def main() -> None:
 
     # pre-flight: don't start a bench inside a tunnel degradation window
     # (r2's L6 warmup took 1004s in one) — bounded AND budget-clamped
-    if os.environ.get("JAX_PLATFORMS", "").lower().split(",")[0] == "cpu":
+    if (os.environ.get("JAX_PLATFORMS", "")
+            .lower().split(",")[0].strip() == "cpu"):
         # the env var alone does NOT override an installed TPU plugin
         # (same contract as tests/conftest.py and eval_common.py) — without
         # this, a "CPU" bench silently initializes the tunnel backend and
@@ -479,8 +493,10 @@ def main() -> None:
     # 2. int8 wire: the bulk-indexing deployment point — quarters the d2h
     # bytes that dominate e2e on this box (measured STS impact: +0.006
     # Spearman, noise-level — docs/PERF.md "wire dtype")
-    if _stage_enabled("int8wire") and remaining_s() > 90:
-        m = "sentences_per_sec_minilm_l6_q4_0_int8wire"
+    m = "sentences_per_sec_minilm_l6_q4_0_int8wire"
+    if _stage_enabled("int8wire") and remaining_s() <= 90:
+        record_error(m, "skipped: wall budget")
+    elif _stage_enabled("int8wire"):
         try:
             measure_model("minilm_l6", sentences, trials=3,
                           healthy_floor=floor, retries=1,
@@ -492,13 +508,17 @@ def main() -> None:
     # 3. streaming bulk-indexing rate (engine.encode_iter): the
     # corpus-scale workload with O(window) memory — must hold ≥~95% of
     # the bulk rate
-    if _stage_enabled("streaming") and remaining_s() > 120:
-        m = "streaming_sentences_per_sec_minilm_l6_q4_0"
+    m = "streaming_sentences_per_sec_minilm_l6_q4_0"
+    if _stage_enabled("streaming") and remaining_s() <= 120:
+        record_error(m, "skipped: wall budget")
+    elif _stage_enabled("streaming"):
         try:
             from bert_tpu import BertTPU
 
-            model = BertTPU.from_file("/tmp/bench_minilm_l6_q4_0.bin",
-                                      max_batch=2048)
+            path = "/tmp/bench_minilm_l6_q4_0.bin"
+            if not os.path.exists(path):  # standalone BENCH_STAGES=streaming
+                build_model_file(path, "minilm_l6")
+            model = BertTPU.from_file(path, max_batch=2048)
             big = sentences * 4  # >2 windows in flight
             list(model.encode_iter(sentences, window=2048))  # warm
             t0 = time.time()

@@ -176,24 +176,32 @@ def main() -> None:
     # against a pre-STATS2 server (--connect mode) still yields its full
     # client-side report instead of dying on the unknown magic after the
     # whole measurement has run (ADVICE r3)
+    served = batches = 0
     lat_n = sp50 = sp95 = sp99 = None
     try:
-        c = socket.create_connection((host, port), timeout=30)
-        _recv_exact(c, 4)
-        c.sendall(BIN_STATS2)
-        resp = _recv_exact(c, 36)
-        served, batches, lat_n, sp50, sp95, sp99 = struct.unpack(
-            "<QQIIII", resp[4:36])
-        c.close()
+        with socket.create_connection((host, port), timeout=30) as c:
+            _recv_exact(c, 4)
+            c.sendall(BIN_STATS2)
+            resp = _recv_exact(c, 36)
+            served, batches, lat_n, sp50, sp95, sp99 = struct.unpack(
+                "<QQIIII", resp[4:36])
     except Exception as exc:  # noqa: BLE001 (old server closed on magic)
         print(f"STATS2 unavailable ({exc!r}) — falling back to STATS",
               file=sys.stderr)
-        c = socket.create_connection((host, port), timeout=30)
-        _recv_exact(c, 4)
-        c.sendall(BIN_STATS)
-        resp = _recv_exact(c, 20)
-        served, batches = struct.unpack("<QQ", resp[4:20])
-        c.close()
+        try:
+            with socket.create_connection((host, port), timeout=30) as c:
+                _recv_exact(c, 4)
+                c.sendall(BIN_STATS)
+                resp = _recv_exact(c, 20)
+                # a STATS2-echoing magic can't appear here: the reply's
+                # first 4 bytes are the STATS magic echo we just sent
+                served, batches = struct.unpack("<QQ", resp[4:20])
+        except Exception as exc2:  # noqa: BLE001
+            # never discard the measured client-side report over a stats
+            # query — report the soak with server counters nulled
+            print(f"STATS unavailable too ({exc2!r}) — reporting "
+                  "client-side results only", file=sys.stderr)
+            served = batches = None
 
     def _lat_summary(samples):
         """p50/p95/p99/max (ms) + a log2 histogram — tail latency is the
@@ -223,7 +231,8 @@ def main() -> None:
         "errors": len(errors),
         "server_served": served,
         "server_batches": batches,
-        "mean_batch_fill": round(served / max(batches, 1), 1),
+        "mean_batch_fill": (round(served / max(batches, 1), 1)
+                            if served is not None else None),
         # in --connect mode the attached server's window is unknown; don't
         # report soak's own spawn-mode default as if it were the server's
         "batch_window_ms": None if args.connect else args.batch_window_ms,

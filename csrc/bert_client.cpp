@@ -457,13 +457,17 @@ struct bert_ctx *bert_load_from_file(const char *fname) try {
                                      // peer speaks the framed protocol
         if (!wait_connect_handshake(host.c_str(), port, ctx) ||
             !query_meta(ctx)) {
-            delete ctx;
+            // bert_free, not delete: the handshake may have opened
+            // ctx->fd, and the META fast-fail path (ADVICE r3) makes this
+            // the DESIGNED outcome against incompatible peers — a plain
+            // delete leaks one socket per load retry
+            bert_free(ctx);
             return nullptr;
         }
         return ctx;
     }
     if (!load_header_and_vocab(fname, ctx)) {
-        delete ctx;
+        bert_free(ctx);  // frees any partially-built wp_vocab too
         return nullptr;
     }
     int port = pick_free_port();

@@ -143,14 +143,22 @@ def test_sigterm_after_first_checkpoint_keeps_fresh_headline(tmp_path):
         [sys.executable, BENCH], env=env, stdout=subprocess.PIPE,
         stderr=subprocess.PIPE, text=True)
     try:
-        deadline = time.time() + 300
-        saw_checkpoint = False
-        for line in proc.stderr:
-            if "[checkpoint]" in line:
-                saw_checkpoint = True
-                break
-            assert time.time() < deadline, "no checkpoint within 300s"
-        assert saw_checkpoint
+        # reader thread + Event: a bench that wedges SILENTLY (no stderr
+        # at all) must FAIL this test at the deadline, not hang it — a
+        # bare `for line in proc.stderr` blocks forever in readline
+        import threading
+
+        saw_checkpoint = threading.Event()
+
+        def scan():
+            for line in proc.stderr:
+                if "[checkpoint]" in line:
+                    saw_checkpoint.set()
+                    return
+
+        t = threading.Thread(target=scan, daemon=True)
+        t.start()
+        assert saw_checkpoint.wait(timeout=300), "no checkpoint within 300s"
         proc.send_signal(signal.SIGTERM)
         stdout, _ = proc.communicate(timeout=60)
     finally:
