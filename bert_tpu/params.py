@@ -297,7 +297,17 @@ def _random_named_tensors_cached(
     rng = np.random.default_rng(seed)
 
     def t(*shape):
-        return (rng.standard_normal(shape) * scale).astype(np.float32)
+        # dtype=float32 + in-place scale: ~4 bytes of fresh pages per
+        # param instead of ~20 (f64 draw + f64 product + f32 copy). On
+        # this VM first-touch faults run at single-digit MB/s in bad
+        # windows, so page count IS the cost: a bge-large-shaped fixture
+        # (340M params) drops from ~6.8 GB of faulted pages to ~1.4 GB.
+        # NOTE: f32 draws are a DIFFERENT random stream than f64 — this
+        # change regenerated tests/goldens/ and benchmarks/results/
+        # (the documented conscious-numerics-change flow, docs/MTEB.md).
+        arr = rng.standard_normal(shape, dtype=np.float32)
+        arr *= scale
+        return arr
 
     named: Dict[str, np.ndarray] = {
         "embeddings.word_embeddings.weight": t(config.n_vocab, config.n_embd),
