@@ -483,6 +483,9 @@ def main() -> None:
     # 1. headline FIRST — checkpointed per-trial inside measure_model
     if _stage_enabled("headline"):
         try:
+            # pre-mark: if the watchdog fires mid-measurement the row says
+            # so (record_metric clears this on the first completed trial)
+            record_error(HEADLINE_METRIC, "in flight when budget expired")
             measure_model("minilm_l6", sentences, trials=5,
                           healthy_floor=floor, retries=2,
                           metric=HEADLINE_METRIC)
@@ -498,6 +501,7 @@ def main() -> None:
         record_error(m, "skipped: wall budget")
     elif _stage_enabled("int8wire"):
         try:
+            record_error(m, "in flight when budget expired")
             measure_model("minilm_l6", sentences, trials=3,
                           healthy_floor=floor, retries=1,
                           metric=m, wire_dtype="int8")
@@ -513,6 +517,7 @@ def main() -> None:
         record_error(m, "skipped: wall budget")
     elif _stage_enabled("streaming"):
         try:
+            record_error(m, "in flight when budget expired")
             from bert_tpu import BertTPU
 
             path = "/tmp/bench_minilm_l6_q4_0.bin"
@@ -546,6 +551,7 @@ def main() -> None:
                 record_error(m, "skipped: wall budget")
                 continue
             try:
+                record_error(m, "in flight when budget expired")
                 if not os.path.exists(f"/tmp/bench_{name}_q4_0.bin"):
                     build_model_file(f"/tmp/bench_{name}_q4_0.bin", name)
                 record_metric(m, measure_device_side(name, rows=rows))
@@ -565,6 +571,7 @@ def main() -> None:
                 continue
             _, _, _, _, baseline = MODELS[name]
             try:
+                record_error(m, "in flight when budget expired")
                 measure_model(name, sentences,
                               trials=2 if name == "bge_large" else 3,
                               healthy_floor=floor * baseline / 506.0,
