@@ -53,6 +53,10 @@ ARCHS = {
     "minilm_l6": (384, 1536, 12, 6),
     "minilm_l12": (384, 1536, 12, 12),
     "bert_base": (768, 3072, 12, 12),
+    # the H=16/D=1024/24L class (bge-large shape) — the largest family the
+    # engine targets; no reference quality row exists for it (the
+    # reference never ran an L24 model), so these numbers are beyond-parity
+    "bge_large": (1024, 4096, 16, 24),
 }
 
 

@@ -145,3 +145,44 @@ def test_engine_packed_fuzz(engine_pair):
         b = plain_eng.encode_batch(texts)
         np.testing.assert_allclose(a, b, atol=5e-5,
                                    err_msg=f"trial {trial}")
+
+
+# --- property layer: the planner invariants must hold for ANY input, not
+# just the one RNG draw above (hypothesis; cheap — pure-python planner) ---
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    lengths=st.lists(st.integers(min_value=1, max_value=48), min_size=1,
+                     max_size=120),
+    seq_len=st.sampled_from([48, 64, 128]),
+    max_segments=st.integers(min_value=1, max_value=8),
+)
+def test_planner_invariants_property(lengths, seq_len, max_segments):
+    plan = plan_packing(lengths, seq_len=seq_len, max_segments=max_segments)
+    # every sentence placed exactly once
+    assert sorted(p.index for p in plan.placements) == list(
+        range(len(lengths)))
+    rows = {}
+    for p in plan.placements:
+        assert p.length == lengths[p.index]
+        assert 0 <= p.offset and p.offset + p.length <= seq_len
+        assert 0 <= p.slot < max_segments
+        spans = rows.setdefault(p.row, [])
+        for (o, ln) in spans:
+            assert p.offset >= o + ln or p.offset + p.length <= o, "overlap"
+        spans.append((p.offset, p.length))
+    # per-row segment cap + contiguous row ids + slots unique within a row
+    for r, spans in rows.items():
+        assert len(spans) <= max_segments
+    assert set(rows) == set(range(plan.n_rows))
+    slot_sets = {}
+    for p in plan.placements:
+        assert p.slot not in slot_sets.setdefault(p.row, set())
+        slot_sets[p.row].add(p.slot)
+    # occupancy accounting matches the placements
+    used = sum(lengths)
+    assert abs(plan.occupancy - used / (plan.n_rows * seq_len)) < 1e-9
