@@ -36,7 +36,7 @@ def add_common_args(ap: argparse.ArgumentParser) -> None:
                     "over ICI-adjacent chips; default 1)")
 
 
-def load_model_from_args(args):
+def load_model_from_args(args, max_batch=None):
     import os
 
     platforms = os.environ.get("JAX_PLATFORMS", "").lower()
@@ -60,6 +60,15 @@ def load_model_from_args(args):
     kw = {}
     if getattr(args, "dp", None) or getattr(args, "tp", None):
         kw = {"dp": args.dp, "tp": args.tp}
+    if max_batch is not None:
+        # the server must size the ENGINE's bucket planner to its
+        # scheduler cap — otherwise a --max-batch above the engine default
+        # warms shapes the dispatcher can never emit while the real ones
+        # stay cold (review r4). Rounded up to a dp multiple (engine
+        # invariant); the engine chunks internally so a slightly larger
+        # cap than the scheduler's is harmless.
+        dp = getattr(args, "dp", None) or 1
+        kw["max_batch"] = -(-max_batch // dp) * dp
     return BertTPU.from_file(args.model, quantize_ftype=qft,
                              compute_dtype=dtype, **kw)
 

@@ -21,7 +21,6 @@ evaluation runs on the TPU's MXU instead of a pthread pool.
 
 from __future__ import annotations
 
-import functools
 import logging
 import os
 from typing import Any, Dict, List, Optional, Sequence
@@ -33,7 +32,6 @@ import numpy as np
 from .batching import (
     default_seq_buckets,
     pick_bucket,
-    plan_batch_sizes,
     plan_buckets,
     size_bucket as _size_bucket,
 )
@@ -259,6 +257,10 @@ class BertTPU:
     @property
     def n_max_tokens(self) -> int:
         return self.config.n_max_tokens
+
+    @property
+    def n_vocab(self) -> int:
+        return self.config.n_vocab
 
     def id_to_token(self, token_id: int) -> Optional[str]:
         return self.vocab.id_to_token(token_id)
@@ -550,7 +552,11 @@ class BertTPU:
                                   min(max(8, self._dp), self.max_batch),
                                   self.max_batch})
         else:
-            batch_sizes = sorted({_round_up(b, self._dp)
+            # clamp to max_batch like the manifest path: a caller-supplied
+            # size above the cap would compile shapes the dispatcher can
+            # never emit (review r4)
+            batch_sizes = sorted({min(_round_up(b, self._dp),
+                                      self.max_batch)
                                   for b in batch_sizes})
         first_transfer_done = False
         for t in self.seq_buckets:

@@ -276,13 +276,3 @@ def bert_forward_packed(
         body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, params["layers"])
     return segment_mean_pool_l2(x, segment_ids, n_segments)
-
-
-def make_encode_fn(config: BertConfig, *, compute_dtype=jnp.float32,
-                   use_pallas: Optional[bool] = None):
-    """jit-ready closure: (params, token_ids, mask) → embeddings."""
-    def fn(params, token_ids, mask):
-        return bert_forward(params, token_ids, mask, config,
-                            compute_dtype=compute_dtype,
-                            use_pallas=use_pallas)
-    return fn

@@ -310,7 +310,12 @@ def fused_attn_ok(seq: int, n_head: int, d_head: int, dtype,
     if cached is not None:
         _mem_cache[key] = cached
         return cached
-    if (mode != "force" and table
+    # the measured table (fused_attn_table) was built with KEY-SIDE bias
+    # shapes only — a pairwise (packed) config carries a (g, t, t) bias
+    # block, a strictly larger working set the table never measured, so
+    # pairwise configs must probe-compile even on a measured toolchain
+    # (verdict cached; one subprocess compile per shape, ever)
+    if (mode != "force" and table and not pairwise
             and toolchain_key() in MEASURED_TOOLCHAINS):
         return True
     if not _canary_ok():

@@ -24,7 +24,6 @@ import argparse
 import asyncio
 import logging
 import struct
-import sys
 import time
 from typing import List, Optional, Sequence, Tuple, Union
 
@@ -211,6 +210,11 @@ class BatchingScheduler:
                     t0 = getattr(fut, "_t_submit", None)
                     if t0 is not None:
                         self.latencies.append(t_done - t0)
+            # count ONLY successful batches: a failed eval served nobody,
+            # and STATS reporting it as throughput would make monitoring
+            # read healthy during an outage (review r4)
+            self.n_served += len(batch)
+            self.n_batches += 1
         except asyncio.CancelledError:
             # server shutdown mid-eval: fail the batch's clients instead of
             # stranding their futures forever
@@ -224,8 +228,6 @@ class BatchingScheduler:
                 if not fut.done():
                     fut.set_exception(exc)
         finally:
-            self.n_served += len(batch)
-            self.n_batches += 1
             sem.release()
 
     async def _run(self) -> None:
@@ -274,12 +276,20 @@ class EmbeddingServer:
 
     def _read_token_list(self, buf: bytearray, off: int):
         """Parse one (i32 n_tokens, ids) record at ``off``; returns
-        (ids, new_off) or raises ValueError on an invalid count. The caller
-        guarantees the bytes are present."""
+        (ids, new_off) or raises ValueError on an invalid count or an
+        out-of-vocab id. The caller guarantees the bytes are present."""
         n_tok = self._peek_n_tokens(buf, off)
         ids = np.frombuffer(bytes(buf[off + 4: off + 4 + 4 * n_tok]),
-                            dtype="<i4").tolist()
-        return ids, off + 4 + 4 * n_tok
+                            dtype="<i4")
+        if n_tok and (ids.min() < 0 or ids.max() >= self.model.n_vocab):
+            # XLA's gather clamps out-of-range indices — without this
+            # check a bogus id would SILENTLY embed the clamped vocab row
+            # (garbage in a retrieval index) instead of failing the frame
+            raise ValueError(
+                f"framed eval token id out of range [0, "
+                f"{self.model.n_vocab}): "
+                f"{int(ids.min())}..{int(ids.max())}")
+        return ids.tolist(), off + 4 + 4 * n_tok
 
     async def _handle_framed(self, magic: bytes,
                              reader: asyncio.StreamReader,
@@ -458,7 +468,7 @@ def main(argv=None) -> None:
 
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s: %(message)s")
-    model = load_model_from_args(args)
+    model = load_model_from_args(args, max_batch=args.max_batch)
     if not args.no_warmup:
         t0 = time.time()
         import os as _os

@@ -226,3 +226,30 @@ def test_envelope_report_shape():
     rep = mp.envelope_report()
     assert {"toolchain", "measured", "probe_mode",
             "cached_verdicts"} <= set(rep)
+
+
+def test_pairwise_never_short_circuits_measured_table(on_tpu, monkeypatch):
+    """The measured envelope was built with KEY-SIDE bias shapes; a packed
+    (pairwise) config has a (g,t,t) bias block the table never measured —
+    it must probe-compile even on the measured toolchain (review r4)."""
+    _fake_toolchain(monkeypatch, mp.MEASURED_TOOLCHAINS[0])
+    calls = []
+
+    def fake_probe(seq, n_head, d_head, dtype_name, pairwise):
+        calls.append((seq, n_head, d_head, pairwise))
+        return False  # suppose the bigger bias block does NOT compile
+
+    monkeypatch.setattr(mp, "_run_probe", fake_probe)
+    monkeypatch.setattr(mp, "_canary_ok", lambda: True)
+    monkeypatch.setattr(mp, "_recheck_canary", lambda: True)
+    # table-True shape: key-side short-circuits with zero probes...
+    assert fused_attn_supported(256, 16, 64, jnp.bfloat16) is True
+    assert calls == []
+    # ...but the SAME shape pairwise must probe and honor the verdict
+    assert fused_attn_supported(256, 16, 64, jnp.bfloat16,
+                                pairwise=True) is False
+    assert calls == [(256, 16, 64, True)]
+    # and the pairwise verdict is cached (no second probe)
+    assert fused_attn_supported(256, 16, 64, jnp.bfloat16,
+                                pairwise=True) is False
+    assert len(calls) == 1

@@ -414,3 +414,65 @@ def test_pipeline_depth_two(model):
         base = model.encode_batch(texts)
         for o, b in zip(outs, base):
             np.testing.assert_allclose(o, b, atol=1e-5)
+
+
+def test_out_of_vocab_token_id_closes_connection(model):
+    """A framed EVAL whose ids lie outside [0, n_vocab) must be rejected
+    by closing — XLA's gather clamps out-of-range indices, so accepting
+    the frame would SILENTLY embed the clamped vocab row (review r4)."""
+    from bert_tpu.server import BIN_EVAL_MAGIC
+
+    async def scenario(server, port):
+        for bad in (model.n_vocab + 7, -3):
+            reader, writer = await asyncio.open_connection("127.0.0.1", port)
+            await reader.readexactly(4)
+            writer.write(BIN_EVAL_MAGIC + struct.pack("<i", 3)
+                         + np.asarray([101, bad, 102], "<i4").tobytes())
+            await writer.drain()
+            assert await reader.read(4) == b"", f"id {bad} not rejected"
+            writer.close()
+            await writer.wait_closed()
+        # a valid frame on a fresh connection still works
+        ids = model.tokenize("the store")
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        (n_embd,) = struct.unpack("<i", await reader.readexactly(4))
+        writer.write(BIN_EVAL_MAGIC + struct.pack("<i", len(ids))
+                     + np.asarray(ids, "<i4").tobytes())
+        await writer.drain()
+        out = np.frombuffer(await reader.readexactly(n_embd * 4), "<f4")
+        writer.close()
+        await writer.wait_closed()
+        return out
+
+    out = _run_with_server(model, scenario)
+    np.testing.assert_allclose(np.linalg.norm(out), 1.0, atol=1e-4)
+
+
+def test_failed_batch_not_counted_as_served(model):
+    """STATS must not report failed evaluations as throughput — a device
+    outage would otherwise look healthy to monitoring (review r4)."""
+    from bert_tpu.server import BatchingScheduler
+
+    async def go():
+        sched = BatchingScheduler(model, max_batch=4, batch_window_ms=0.5)
+        boom = {"on": True}
+        real = sched._eval_mixed
+
+        def eval_mixed(payloads):
+            if boom["on"]:
+                raise RuntimeError("device fell over")
+            return real(payloads)
+
+        sched._eval_mixed = eval_mixed
+        sched.start()
+        try:
+            with pytest.raises(RuntimeError):
+                await sched.submit("the store")
+            assert (sched.n_served, sched.n_batches) == (0, 0)
+            boom["on"] = False
+            await sched.submit("the store")
+            assert (sched.n_served, sched.n_batches) == (1, 1)
+        finally:
+            await sched.stop()
+
+    asyncio.run(go())
