@@ -102,8 +102,11 @@ def quantize_ggml(in_path: str, out_path: str, ftype: int,
     total_in = 0
     for name, rec in mf.tensors.items():
         tensors[name] = rec.to_f32()
-        total_in += rec.to_f32().size * (2 if rec.ftype == GGML_FTYPE_F16
-                                         else 4)
+        # reuse the materialized copy: to_f32() is uncached and a second
+        # call would re-dequantize the whole tensor just to read .size
+        # (~1.3 GB of extra first-touch pages on a bge-large f16 file)
+        total_in += tensors[name].size * (2 if rec.ftype == GGML_FTYPE_F16
+                                          else 4)
 
     # write first (the writer quantizes each eligible tensor exactly once),
     # then read the produced records back for the histograms — re-reading

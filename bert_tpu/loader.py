@@ -48,12 +48,9 @@ class LoadedModel:
 
 
 def _stack_quant(qts) -> QuantTensor:
-    return QuantTensor(
-        packed=np.stack([q.packed for q in qts]),
-        scales=np.stack([q.scales for q in qts]),
-        mins=(np.stack([q.mins for q in qts])
-              if qts[0].mins is not None else None),
-    )
+    from .quant import stack_quant
+
+    return stack_quant(qts)
 
 
 def params_from_ggml(mf: GgmlModelFile) -> Tuple[BertConfig, Dict[str, Any]]:

@@ -98,7 +98,12 @@ class NativeWordPiece:
             self._handle = None
 
     def tokenize(self, text: str, n_max_tokens: int = 1 << 30) -> List[int]:
-        raw = text.encode("utf-8")
+        # errors="ignore": a lone surrogate (legal in a Python str, e.g.
+        # out of json.loads) must be DROPPED — exactly what the pure-Python
+        # path does with it — not raise UnicodeEncodeError (review r4: one
+        # such request would fail a whole server micro-batch; "replace"
+        # would instead tokenize the U+FFFD replacement char and diverge)
+        raw = text.encode("utf-8", errors="ignore")
         cap = min(n_max_tokens, len(raw) + 2)
         out = (ctypes.c_int32 * cap)()
         n = self._lib.wp_tokenize(self._handle, raw, len(raw), out, cap)
@@ -142,7 +147,7 @@ class NativeWordPiece:
         def work(start: int, end: int) -> None:
             payload = bytearray()
             for t in texts[start:end]:
-                raw = t.encode("utf-8")
+                raw = t.encode("utf-8", errors="ignore")  # see tokenize()
                 payload += struct.pack("<I", len(raw)) + raw
             buf = bytes(payload)
             self._lib.wp_tokenize_batch(

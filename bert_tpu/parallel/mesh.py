@@ -35,6 +35,11 @@ def make_mesh(
         devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
+    if n_devices > len(devices):
+        # fail clearly up front: slicing would silently truncate and then
+        # surface as a cryptic numpy reshape error below (review r4)
+        raise ValueError(f"requested {n_devices} devices but only "
+                         f"{len(devices)} are available")
     devices = list(devices)[:n_devices]
     if n_devices % tp != 0:
         raise ValueError(f"n_devices {n_devices} not divisible by tp {tp}")

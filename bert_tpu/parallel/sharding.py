@@ -65,7 +65,8 @@ def check_tp_divisibility(config, tp: int, quantized: bool) -> None:
     if config.n_head % tp:
         raise ValueError(f"n_head {config.n_head} % tp {tp} != 0")
     if config.n_intermediate % tp:
-        raise ValueError(f"n_intermediate % tp != 0")
+        raise ValueError(
+            f"n_intermediate {config.n_intermediate} % tp {tp} != 0")
     if quantized and (config.n_embd // tp) % 64:
         raise ValueError(
             f"quantized TP needs n_embd/tp ({config.n_embd}/{tp}) to be a "

@@ -174,7 +174,12 @@ def params_from_named_tensors(
     QuantTensors (weight-only quantization; biases & LayerNorms stay f32,
     matching SURVEY.md §2.5).
     """
-    from .quant import GGML_FTYPE_Q4_0, GGML_FTYPE_Q4_1, quantize_tensor_tpu
+    from .quant import (
+        GGML_FTYPE_Q4_0,
+        GGML_FTYPE_Q4_1,
+        quantize_tensor_tpu,
+        stack_quant,
+    )
 
     def get(name: str) -> np.ndarray:
         if name not in named:
@@ -190,13 +195,8 @@ def params_from_named_tensors(
     def stack_matmul(per_layer):
         """[in, out] weights per layer → stacked dense or QuantTensor."""
         if quantize:
-            qts = [quantize_tensor_tpu(w, quantize_ftype) for w in per_layer]
-            return QuantTensor(
-                packed=np.stack([q.packed for q in qts]),
-                scales=np.stack([q.scales for q in qts]),
-                mins=(np.stack([q.mins for q in qts])
-                      if qts[0].mins is not None else None),
-            )
+            return stack_quant([quantize_tensor_tpu(w, quantize_ftype)
+                                for w in per_layer])
         return np.stack(per_layer).astype(dtype)
 
     layers: Dict[str, WeightLike] = {}
@@ -227,7 +227,7 @@ def quantize_params(params: Dict[str, Dict[str, WeightLike]],
     QuantTensors (weight-only; biases/LayerNorms/embeddings untouched) —
     the on-load path for f32/f16 ggml files, mirroring what
     models/quantize.cpp does offline for the reference."""
-    from .quant import quantize_tensor_tpu
+    from .quant import quantize_tensor_tpu, stack_quant
 
     layers = dict(params["layers"])
     for key in _MATMUL_KEYS:
@@ -235,14 +235,9 @@ def quantize_params(params: Dict[str, Dict[str, WeightLike]],
         if isinstance(w, QuantTensor):
             continue  # already quantized
         stacked = np.asarray(w, np.float32)
-        qts = [quantize_tensor_tpu(stacked[l], ftype)
-               for l in range(stacked.shape[0])]
-        layers[key] = QuantTensor(
-            packed=np.stack([q.packed for q in qts]),
-            scales=np.stack([q.scales for q in qts]),
-            mins=(np.stack([q.mins for q in qts])
-                  if qts[0].mins is not None else None),
-        )
+        layers[key] = stack_quant(
+            [quantize_tensor_tpu(stacked[l], ftype)
+             for l in range(stacked.shape[0])])
     return {"embeddings": params["embeddings"], "layers": layers}
 
 

@@ -52,6 +52,14 @@ FTYPE_BY_NAME = {v: k for k, v in FTYPE_NAMES.items()}
 # Core block codecs (numpy, shape [..., K] with K % 32 == 0)
 # ---------------------------------------------------------------------------
 
+def _round_away(x: np.ndarray) -> np.ndarray:
+    """Round half AWAY from zero, matching the C ``roundf`` the reference
+    quantizer uses (models/quantize.cpp via ggml). np.rint rounds half to
+    EVEN, which diverges on exact ties (e.g. 2.5 → rint 2, roundf 3) and
+    would break bit parity with reference-quantized files (review r4)."""
+    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+
 def q4_0_quantize(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """x[..., K] → (codes uint8 [..., K] in 0..15, scales f32 [..., K//QK])."""
     x = np.ascontiguousarray(x, dtype=np.float32)
@@ -61,7 +69,7 @@ def q4_0_quantize(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     amax = np.abs(blocks).max(axis=-1)
     d = amax / 7.0
     inv_d = np.where(d > 0, 1.0 / np.where(d > 0, d, 1.0), 0.0)
-    q = np.rint(blocks * inv_d[..., None]) + 8.0
+    q = _round_away(blocks * inv_d[..., None]) + 8.0
     codes = np.clip(q, 0, 15).astype(np.uint8).reshape(*lead, k)
     return codes, d.astype(np.float32)
 
@@ -82,7 +90,7 @@ def q4_1_quantize(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     mx = blocks.max(axis=-1)
     d = (mx - mn) / 15.0
     inv_d = np.where(d > 0, 1.0 / np.where(d > 0, d, 1.0), 0.0)
-    q = np.rint((blocks - mn[..., None]) * inv_d[..., None])
+    q = _round_away((blocks - mn[..., None]) * inv_d[..., None])
     codes = np.clip(q, 0, 15).astype(np.uint8).reshape(*lead, k)
     return codes, d.astype(np.float32), mn.astype(np.float32)
 
@@ -294,3 +302,15 @@ def dequantize_tpu(qt: QuantTensor) -> np.ndarray:
         return (codes.astype(np.float32) - 8.0) * scales
     mins = np.repeat(np.asarray(qt.mins), QK, axis=0)
     return codes.astype(np.float32) * scales + mins
+
+
+def stack_quant(qts) -> QuantTensor:
+    """Stack per-layer QuantTensors into ONE layer-leading QuantTensor
+    (the scan-ready pytree leaf layout). The single home for this layout
+    rule — loader.py and params.py previously each had a copy (review r4)."""
+    return QuantTensor(
+        packed=np.stack([q.packed for q in qts]),
+        scales=np.stack([q.scales for q in qts]),
+        mins=(np.stack([q.mins for q in qts])
+              if qts[0].mins is not None else None),
+    )

@@ -108,7 +108,11 @@ class WordPieceTokenizer:
     def tokenize(self, text: str, n_max_tokens: Optional[int] = None) -> List[int]:
         """Text → token ids, [CLS] ... [SEP], truncated to ``n_max_tokens``.
 
-        Mirrors bert_tokenize (bert.cpp:252-325).
+        Mirrors bert_tokenize (bert.cpp:252-325). Token OUTPUT is
+        bit-identical between the native and Python cores (fuzz-pinned in
+        tests/test_native.py); the unknown-token WARNING side effect is
+        Python-path only — the native core drops unknowns silently
+        (warn_unknown has no effect when libwordpiece.so is active).
         """
         if self._native is not None:
             return self._native.tokenize(
@@ -182,7 +186,13 @@ class WordPieceTokenizer:
         ids = np.full((b, seq_len), pad, dtype=np.int32)
         mask = np.zeros((b, seq_len), dtype=np.float32)
         for r, toks in enumerate(token_lists):
-            t = list(toks)[:seq_len]
+            t = list(toks)
+            if len(t) > seq_len:
+                # preserve the trailing token (the [SEP] of a well-formed
+                # list) across truncation: the module contract is
+                # truncate-then-[SEP], and chopping the tail would end the
+                # sequence mid-word with no separator (review r4)
+                t = t[: seq_len - 1] + [t[-1]]
             ids[r, : len(t)] = t
             mask[r, : len(t)] = 1.0
         return ids, mask

@@ -91,3 +91,18 @@ def test_degenerate_caps_do_not_overflow(native, py_tok, vocab):
         assert len(two) == 2 and two[0] == vocab.cls_id \
             and two[-1] == vocab.sep_id
         assert two == py_tok.tokenize(text, 2)
+
+
+def test_lone_surrogate_does_not_crash_native(native, py_tok, vocab):
+    """A lone surrogate (legal in a Python str, e.g. from json.loads of
+    a \\ud800 escape) must tokenize on BOTH cores without raising — the
+    native path previously died in .encode('utf-8') and failed a whole
+    server micro-batch (review r4)."""
+    s = "the " + chr(0xD800) + " store"
+    out_py = py_tok.tokenize(s, 64)
+    out_nat = native.tokenize(s, 64)
+    # the unencodable char degrades to an unknown and is dropped;
+    # outputs stay well-formed and the two cores agree
+    assert out_nat[0] == vocab.cls_id and out_nat[-1] == vocab.sep_id
+    assert out_py == py_tok.tokenize("the store", 64)
+    assert out_nat == out_py

@@ -89,3 +89,19 @@ def test_pad_batch(tok):
     assert list(ids[0]) == [101, 5, 102, tok.vocab.pad_id]
     assert list(mask[0]) == [1, 1, 1, 0]
     assert list(mask[1]) == [1, 1, 0, 0]
+
+
+def test_pad_batch_truncation_preserves_trailing_sep():
+    """eval_tokens with an over-long pre-tokenized list: truncation must
+    keep the trailing [SEP] (truncate-then-[SEP] contract), not chop it
+    off mid-word (review r4)."""
+    from fixture_vocab import build_fixture_vocab
+
+    tok = WordPieceTokenizer(build_fixture_vocab(), warn_unknown=False)
+    long_ids = tok.tokenize(" ".join(["go"] * 100))  # well-formed, >16 toks
+    assert len(long_ids) > 16
+    ids, mask = tok.pad_batch([long_ids], seq_len=16)
+    assert mask[0].sum() == 16
+    assert ids[0, 0] == tok.vocab.cls_id
+    assert ids[0, 15] == tok.vocab.sep_id  # preserved across truncation
+    assert list(ids[0, :15]) == long_ids[:15]
