@@ -253,3 +253,36 @@ def test_pairwise_never_short_circuits_measured_table(on_tpu, monkeypatch):
     assert fused_attn_supported(256, 16, 64, jnp.bfloat16,
                                 pairwise=True) is False
     assert len(calls) == 1
+
+
+def test_probe_force_run_accounting(on_tpu, monkeypatch, tmp_path):
+    """benchmarks/probe_force_run.py: per-probe timing, drift detection,
+    and the report shape — with the child compile stubbed (the real run
+    is a chip-session artifact, benchmarks/results/probe_force.json)."""
+    import benchmarks.probe_force_run as pfr
+
+    _fake_toolchain(monkeypatch)
+    monkeypatch.setenv("BERT_TPU_MOSAIC_PROBE", "force")
+    # table says MiniLM (H12/dh32) is fused at EVERY bucket; a stub that
+    # fails T=512 must therefore show up as routing drift
+    monkeypatch.setattr(
+        mp, "_run_probe",
+        lambda seq, n_head, d_head, dtype_name, pairwise: seq < 512)
+    out = tmp_path / "probe_force.json"
+    monkeypatch.setattr(
+        "sys.argv",
+        ["probe_force_run.py", "--families", "minilm", "--skip-pairwise",
+         "--out", str(out)])
+    assert pfr.main() == 0
+
+    import json as _json
+    report = _json.loads(out.read_text())
+    assert report["probe_mode"] == "force"
+    assert len(report["rows"]) == len(pfr.BUCKETS)
+    drift = report["routing_drift_vs_table"]
+    assert [(r["seq"], r["table"], r["probed"]) for r in drift] == \
+        [(512, True, False)]
+    # every row paid a real (stubbed) child probe, each with a wall time
+    assert report["child_probes_run"] >= len(pfr.BUCKETS)
+    assert all(p["wall_s"] >= 0 for p in report["probes"])
+    assert report["probe_wall_s"]["total"] >= 0
