@@ -67,6 +67,7 @@ class BertTPU:
         mesh: Optional[Any] = None,
         dp: Optional[int] = None,
         tp: Optional[int] = None,
+        pooling: str = "mean",
     ):
         enable_compilation_cache()
         self.config: BertConfig = loaded.config
@@ -95,6 +96,13 @@ class BertTPU:
             raise ValueError(f"wire_dtype must be f32/f16/int8, "
                              f"got {wire_dtype!r}")
         self.wire_dtype = wire_dtype
+        # Pooling is a checkpoint property: sentence-transformers MiniLM
+        # models are mean-pooled (the reference's hardcoded choice,
+        # bert.cpp:906-913); BGE-family checkpoints are CLS-pooled.
+        if pooling not in ("mean", "cls"):
+            raise ValueError(f"pooling must be 'mean' or 'cls', "
+                             f"got {pooling!r}")
+        self.pooling = pooling
         from .profiling import PhaseTimers
 
         self.timers = PhaseTimers()
@@ -184,14 +192,16 @@ class BertTPU:
             return _wire(bert_forward(
                 params, token_ids, mask, config=self.config,
                 compute_dtype=self.compute_dtype,
-                use_pallas=self.use_pallas, tp_axis=tp_axis))
+                use_pallas=self.use_pallas, tp_axis=tp_axis,
+                pooling=self.pooling))
 
         def encode_packed(params, token_ids, segment_ids, position_ids):
             return bert_forward_packed(
                 params, token_ids, segment_ids, position_ids,
                 config=self.config, n_segments=self._pack_segments,
                 compute_dtype=self.compute_dtype,
-                use_pallas=self.use_pallas, tp_axis=tp_axis)
+                use_pallas=self.use_pallas, tp_axis=tp_axis,
+                pooling=self.pooling)
 
         def gather_segments(emb3, flat_idx):
             # [B, S, D] per-segment embeddings → wire-dtype rows for the

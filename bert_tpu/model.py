@@ -202,6 +202,39 @@ def mean_pool_l2(x: jax.Array, mask: jax.Array) -> jax.Array:
     return pooled / jnp.maximum(norm, 1e-12)
 
 
+def cls_pool_l2(x: jax.Array) -> jax.Array:
+    """[CLS]-token pool + L2 normalize, in f32.
+
+    The reference hardcodes mean pooling (bert.cpp:906-913) because its
+    model zoo is sentence-transformers MiniLM variants; BGE-family
+    checkpoints (our flagship large class) are trained with CLS pooling —
+    mean-pooling them degrades retrieval quality, so pooling is a model
+    property, not a constant. Every row starts with [CLS] (tokenizer
+    always emits it, even for the empty string), so position 0 is valid
+    under any mask."""
+    xf = x[..., 0, :].astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(jnp.square(xf), axis=-1, keepdims=True))
+    return xf / jnp.maximum(norm, 1e-12)
+
+
+def segment_cls_pool_l2(x: jax.Array, segment_ids: jax.Array,
+                        n_segments: int) -> jax.Array:
+    """Per-segment [CLS] pool + L2 normalize for packed rows.
+
+    Each packed segment is a complete tokenized sentence, so its first
+    token is its [CLS]; positions restart per segment (bert_tpu/packing.py).
+    x [B, T, D], segment_ids [B, T] (0 = padding, 1..n_segments) →
+    [B, n_segments, D]; empty slots come out as zero vectors."""
+    xf = x.astype(jnp.float32)
+    hit = segment_ids[:, :, None] == (1 + jnp.arange(n_segments))[None, None]
+    first = jnp.argmax(hit, axis=1)  # [B, S]: first token of each segment
+    cls = jnp.take_along_axis(xf, first[:, :, None], axis=1)
+    present = jnp.any(hit, axis=1)[..., None]
+    pooled = jnp.where(present, cls, 0.0)
+    norm = jnp.sqrt(jnp.sum(jnp.square(pooled), axis=-1, keepdims=True))
+    return pooled / jnp.maximum(norm, 1e-12)
+
+
 def bert_forward(
     params: Dict[str, Any],
     token_ids: jax.Array,
@@ -212,14 +245,20 @@ def bert_forward(
     use_pallas: Optional[bool] = None,
     tp_axis: Optional[str] = None,
     remat: bool = False,
+    pooling: str = "mean",
 ) -> jax.Array:
     """token_ids [B, T] int32, mask [B, T] → L2-normalized embeddings
     [B, n_embd] f32. The full SURVEY.md §3.3 graph, batched.
+
+    ``pooling`` is "mean" (sentence-transformers semantics, the reference's
+    hardcoded choice) or "cls" (BGE-family checkpoints).
 
     ``remat=True`` checkpoints each scanned layer (training-time
     rematerialization: activations are recomputed in the backward pass
     instead of stored — O(1) residency in depth, the standard JAX trade of
     FLOPs for HBM)."""
+    if pooling not in ("mean", "cls"):
+        raise ValueError(f"pooling must be 'mean' or 'cls', got {pooling!r}")
     x = embed(params["embeddings"], token_ids, config, compute_dtype,
               use_pallas=use_pallas)
     # 0 for real tokens, NEG_INF for padding
@@ -236,6 +275,8 @@ def bert_forward(
     if remat:
         body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, params["layers"])
+    if pooling == "cls":
+        return cls_pool_l2(x)
     return mean_pool_l2(x, mask)
 
 
@@ -251,6 +292,7 @@ def bert_forward_packed(
     use_pallas: Optional[bool] = None,
     tp_axis: Optional[str] = None,
     remat: bool = False,
+    pooling: str = "mean",
 ) -> jax.Array:
     """Packed-row forward: token_ids/segment_ids/position_ids [B, T] →
     per-segment L2-normalized embeddings [B, n_segments, n_embd] f32.
@@ -260,6 +302,8 @@ def bert_forward_packed(
     positions, block-diagonal attention, per-segment pooling. Empty segment
     slots return zero vectors. ``remat`` checkpoints each scanned layer,
     as in :func:`bert_forward`."""
+    if pooling not in ("mean", "cls"):
+        raise ValueError(f"pooling must be 'mean' or 'cls', got {pooling!r}")
     x = embed(params["embeddings"], token_ids, config, compute_dtype,
               position_ids=position_ids, use_pallas=use_pallas)
     mask_bias = segment_attention_bias(segment_ids)
@@ -275,4 +319,6 @@ def bert_forward_packed(
     if remat:
         body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, params["layers"])
+    if pooling == "cls":
+        return segment_cls_pool_l2(x, segment_ids, n_segments)
     return segment_mean_pool_l2(x, segment_ids, n_segments)

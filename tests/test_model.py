@@ -94,6 +94,16 @@ def test_torch_parity(named, params):
     )
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
 
+    # CLS pooling (BGE-family checkpoints) against the same torch hidden
+    # states: normalized first-token vector
+    cls_ref = hidden[:, 0]
+    cls_ref = cls_ref / np.linalg.norm(cls_ref, axis=-1, keepdims=True)
+    cls_out = np.asarray(
+        bert_forward(params, jnp.asarray(ids), jnp.asarray(mask), CFG,
+                     pooling="cls")
+    )
+    np.testing.assert_allclose(cls_out, cls_ref, atol=2e-5, rtol=1e-4)
+
 
 def test_padding_invariance(params):
     """Extending padding must not change embeddings (mask correctness)."""

@@ -81,6 +81,32 @@ def test_packed_forward_matches_unpacked(params):
                                    atol=2e-5, err_msg=f"sentence {p.index}")
 
 
+def test_packed_cls_pooling_matches_unpacked(params):
+    """CLS pooling through the packed path: each segment's first token is
+    its [CLS] (positions restart per segment), so packed CLS must equal the
+    sentence embedded alone with pooling='cls'."""
+    toks = _token_lists(8)
+    plan = plan_packing([len(t) for t in toks], seq_len=32, max_segments=8)
+    ids, seg, pos, flat = pack_batch(toks, plan, n_rows=plan.n_rows)
+
+    packed = np.asarray(bert_forward_packed(
+        params, jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(pos),
+        CFG, n_segments=8, pooling="cls"))
+    packed_flat = packed.reshape(-1, CFG.n_embd)
+
+    max_len = max(len(t) for t in toks)
+    ref_ids = np.zeros((len(toks), max_len), np.int32)
+    ref_mask = np.zeros((len(toks), max_len), np.float32)
+    for i, t in enumerate(toks):
+        ref_ids[i, : len(t)] = t
+        ref_mask[i, : len(t)] = 1.0
+    ref = np.asarray(bert_forward(params, jnp.asarray(ref_ids),
+                                  jnp.asarray(ref_mask), CFG, pooling="cls"))
+    for j, p in enumerate(plan.placements):
+        np.testing.assert_allclose(packed_flat[flat[j]], ref[p.index],
+                                   atol=2e-5, err_msg=f"sentence {p.index}")
+
+
 def test_empty_segment_slots_are_zero(params):
     toks = _token_lists(3)
     plan = plan_packing([len(t) for t in toks], seq_len=64, max_segments=8)
