@@ -34,10 +34,11 @@ def add_common_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--tp", type=int, default=None,
                     help="tensor-parallel degree (Megatron weight sharding "
                     "over ICI-adjacent chips; default 1)")
-    ap.add_argument("--pooling", choices=["mean", "cls"], default="mean",
+    ap.add_argument("--pooling", choices=["mean", "cls"], default=None,
                     help="sentence pooling: mean (sentence-transformers "
                     "models, the reference's hardcoded choice) or cls "
-                    "(BGE-family checkpoints)")
+                    "(BGE-family checkpoints). Default: what the "
+                    "checkpoint declares (HF dirs), else mean")
 
 
 def load_model_from_args(args, max_batch=None):
@@ -64,7 +65,7 @@ def load_model_from_args(args, max_batch=None):
     kw = {}
     if getattr(args, "dp", None) or getattr(args, "tp", None):
         kw = {"dp": args.dp, "tp": args.tp}
-    if getattr(args, "pooling", "mean") != "mean":
+    if getattr(args, "pooling", None):
         kw["pooling"] = args.pooling
     if max_batch is not None:
         # the server must size the ENGINE's bucket planner to its

@@ -67,7 +67,7 @@ class BertTPU:
         mesh: Optional[Any] = None,
         dp: Optional[int] = None,
         tp: Optional[int] = None,
-        pooling: str = "mean",
+        pooling: Optional[str] = None,
     ):
         enable_compilation_cache()
         self.config: BertConfig = loaded.config
@@ -98,7 +98,11 @@ class BertTPU:
         self.wire_dtype = wire_dtype
         # Pooling is a checkpoint property: sentence-transformers MiniLM
         # models are mean-pooled (the reference's hardcoded choice,
-        # bert.cpp:906-913); BGE-family checkpoints are CLS-pooled.
+        # bert.cpp:906-913); BGE-family checkpoints are CLS-pooled. None =
+        # auto: what the checkpoint declares (HF dirs with an ST 1_Pooling
+        # config), else mean.
+        if pooling is None:
+            pooling = getattr(loaded, "pooling", None) or "mean"
         if pooling not in ("mean", "cls"):
             raise ValueError(f"pooling must be 'mean' or 'cls', "
                              f"got {pooling!r}")

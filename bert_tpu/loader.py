@@ -45,6 +45,10 @@ class LoadedModel:
     config: BertConfig
     params: Dict[str, Any]
     vocab: Vocab
+    # "mean" / "cls" when the checkpoint declares it (sentence-transformers
+    # 1_Pooling config); None = unknown → the engine defaults to mean, the
+    # reference's hardcoded behavior (bert.cpp:906-913)
+    pooling: Optional[str] = None
 
 
 def _stack_quant(qts) -> QuantTensor:
@@ -142,6 +146,29 @@ def load_ggml_model(path: str,
     return LoadedModel(config=config, params=params, vocab=vocab)
 
 
+def _detect_pooling(model_dir: str) -> Optional[str]:
+    """Pooling mode declared by a sentence-transformers checkpoint.
+
+    ST checkpoints ship ``1_Pooling/config.json`` with boolean
+    ``pooling_mode_*`` flags; BGE models set ``pooling_mode_cls_token``.
+    The ggml format (and the reference) has no such field — the reference
+    silently mean-pools every model, which is wrong for CLS-trained
+    checkpoints. Returns None when nothing is declared."""
+    import json
+
+    try:
+        with open(os.path.join(model_dir, "1_Pooling",
+                               "config.json"), encoding="utf-8") as f:
+            pc = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if pc.get("pooling_mode_cls_token"):
+        return "cls"
+    if pc.get("pooling_mode_mean_tokens"):
+        return "mean"
+    return None
+
+
 def load_hf_model(model_dir: str,
                   quantize_ftype: Optional[int] = None) -> LoadedModel:
     """Load a HuggingFace BERT checkpoint directory directly (no ggml-bin
@@ -182,7 +209,8 @@ def load_hf_model(model_dir: str,
         # ids past the embedding table (JAX gathers clamp silently) —
         # truncate exactly like the converter (convert.py vocab_size cut)
         vocab = Vocab.from_tokens(vocab.tokens[: config.n_vocab])
-    return LoadedModel(config=config, params=params, vocab=vocab)
+    return LoadedModel(config=config, params=params, vocab=vocab,
+                       pooling=_detect_pooling(model_dir))
 
 
 def _hf_state_dict(model_dir: str) -> Dict[str, np.ndarray]:

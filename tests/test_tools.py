@@ -109,3 +109,31 @@ def test_eval_sts_local_spearman():
         f.write("the store\tgoing home\t1.0\n")
     s1, s2, gold = read_pairs(tsv)
     assert s1 == ["hello world", "the store"] and list(gold) == [5.0, 1.0]
+
+
+def test_pooling_autodetect_from_st_config(hf_dir):
+    """A sentence-transformers 1_Pooling config declaring CLS pooling is
+    picked up by the HF-dir loader and resolved by the engine; an explicit
+    engine kwarg overrides it."""
+    import json
+    import shutil
+
+    from bert_tpu.engine import BertTPU
+
+    # without a pooling config: unknown → engine defaults to mean
+    assert load_hf_model(hf_dir).pooling is None
+
+    pdir = os.path.join(hf_dir, "1_Pooling")
+    os.makedirs(pdir, exist_ok=True)
+    try:
+        with open(os.path.join(pdir, "config.json"), "w") as f:
+            json.dump({"pooling_mode_cls_token": True,
+                       "pooling_mode_mean_tokens": False}, f)
+        loaded = load_hf_model(hf_dir)
+        assert loaded.pooling == "cls"
+        assert BertTPU(loaded).pooling == "cls"
+        assert BertTPU(loaded, pooling="mean").pooling == "mean"
+        with pytest.raises(ValueError):
+            BertTPU(loaded, pooling="max")
+    finally:
+        shutil.rmtree(pdir)
