@@ -141,7 +141,8 @@ def default_fixture_model(arch: str = "minilm_l6") -> str:
     return path
 
 
-def make_engine(model_path: str, mode: str, *, max_batch: int = 1024):
+def make_engine(model_path: str, mode: str, *, max_batch: int = 1024,
+                pooling: str = "mean"):
     """One engine per quality mode, mirroring the reference's four file
     dtypes plus our W8A8 opt-in:
 
@@ -161,6 +162,11 @@ def make_engine(model_path: str, mode: str, *, max_batch: int = 1024):
     from bert_tpu.quant import FTYPE_BY_NAME
 
     kw = {"max_batch": max_batch}
+    if pooling != "mean":
+        # CLS pooling (BGE-family semantics): quant noise on a single
+        # token's vector instead of averaged over the sentence — measured
+        # separately because the deltas need not match the mean-pooled ones
+        kw["pooling"] = pooling
     if mode == "f32":
         kw["compute_dtype"] = jnp.float32
     elif mode == "f16":
@@ -177,9 +183,10 @@ def make_engine(model_path: str, mode: str, *, max_batch: int = 1024):
     return BertTPU.from_file(model_path, **kw)
 
 
-def result_dir(model_path: str, mode: str) -> str:
+def result_dir(model_path: str, mode: str, pooling: str = "mean") -> str:
     name = os.path.basename(os.path.normpath(model_path))
-    out = os.path.join(RESULTS_DIR, f"{name}_{mode}")
+    suffix = "" if pooling == "mean" else f"-{pooling}"
+    out = os.path.join(RESULTS_DIR, f"{name}{suffix}_{mode}")
     os.makedirs(out, exist_ok=True)
     return out
 

@@ -75,6 +75,9 @@ def main() -> None:
                     "(default: the committed original English pair set)")
     ap.add_argument("--mode", default="q4_0", choices=MODES,
                     help="engine configuration (eval_common.make_engine)")
+    ap.add_argument("--pooling", default="mean", choices=["mean", "cls"],
+                    help="cls = BGE-family semantics: quant noise lands on "
+                    "one token's vector instead of averaging out")
     ap.add_argument("--max-batch", type=int, default=1024)
     args = ap.parse_args()
 
@@ -84,7 +87,8 @@ def main() -> None:
     elif not args.model:
         ap.error("need -m MODEL or --fixture")
 
-    model = make_engine(args.model, args.mode, max_batch=args.max_batch)
+    model = make_engine(args.model, args.mode, max_batch=args.max_batch,
+                        pooling=args.pooling)
     model.encode_batch(s1[:8] + s2[:8])  # warm the shape set
 
     t0 = time.time()
@@ -97,7 +101,7 @@ def main() -> None:
     print(f"{len(s1)} pairs: cosine-Spearman {rho:.5f}, "
           f"eval {dt:.2f}s ({n_sent / dt:.0f} sentences/s)")
 
-    out_dir = result_dir(args.model, args.mode)
+    out_dir = result_dir(args.model, args.mode, pooling=args.pooling)
     task = ("STSLocalEn"
             if os.path.basename(args.pairs) == "sts_en.tsv" else "STSLocal")
     import jax
@@ -107,6 +111,7 @@ def main() -> None:
                  "evaluation_time": round(dt, 2)},
         "n_pairs": len(s1),
         "backend": jax.default_backend(),  # result provenance
+        "pooling": args.pooling,
     }
     if args.mode == "f16":
         payload["compute_note"] = ("mode 'f16' is the reference label; on "

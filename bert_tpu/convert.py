@@ -47,9 +47,17 @@ CONVERT_SKIP = ("embeddings.position_ids", "pooler.dense.weight",
 def convert_hf_to_ggml(model_dir: str, out_path: Optional[str] = None,
                        ftype: int = GGML_FTYPE_F16) -> str:
     """HF BERT checkpoint directory → ggml-bin file. Returns output path."""
-    from .loader import _hf_state_dict
+    from .loader import _detect_pooling, _hf_state_dict
 
     assert ftype in (GGML_FTYPE_F32, GGML_FTYPE_F16)
+    if _detect_pooling(model_dir) == "cls":
+        # the ggml format (convert-to-ggml.py:68-75) has no pooling field,
+        # so the checkpoint's declared CLS pooling cannot travel with the
+        # file — loaders must be told explicitly
+        print(f"warning: {model_dir} declares CLS pooling "
+              "(1_Pooling/config.json); the ggml-bin format cannot record "
+              "it — load the converted file with pooling='cls' "
+              "(--pooling cls)", file=sys.stderr)
     with open(os.path.join(model_dir, "config.json")) as f:
         cfg = json.load(f)
     with open(os.path.join(model_dir, "vocab.txt"), encoding="utf-8") as f:
