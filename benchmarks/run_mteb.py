@@ -25,7 +25,7 @@ MODES = ["q4_0", "q4_1", "f32", "f16"]
 class TpuEngineForMTEB:
     """MTEB model adapter: encode(list[str], **kw) -> np.ndarray."""
 
-    def __init__(self, model_path: str, mode: str):
+    def __init__(self, model_path: str, mode: str, pooling=None):
         import jax.numpy as jnp
 
         from bert_tpu import BertTPU
@@ -34,11 +34,13 @@ class TpuEngineForMTEB:
         # f32/f16 differ by compute dtype (weights stay dense); q4_* by
         # weight quantization — so the four modes measure four distinct
         # configurations, mirroring the reference's four file dtypes.
+        # pooling=None → auto (HF dirs declare it; ggml bins default mean)
         compute = jnp.float32 if mode == "f32" else None  # None → bf16 on TPU
         if os.path.isdir(model_path):
             qft = FTYPE_BY_NAME[mode] if mode in ("q4_0", "q4_1") else None
             self.model = BertTPU.from_file(model_path, quantize_ftype=qft,
-                                           compute_dtype=compute)
+                                           compute_dtype=compute,
+                                           pooling=pooling)
         else:
             # a .bin path: substitute the dtype suffix if per-mode files
             # exist (ggml naming: ggml-model-<dtype>.bin), else load as-is
@@ -50,7 +52,8 @@ class TpuEngineForMTEB:
                     break
             path = (candidate if candidate and os.path.exists(candidate)
                     else model_path)
-            self.model = BertTPU.from_file(path, compute_dtype=compute)
+            self.model = BertTPU.from_file(path, compute_dtype=compute,
+                                           pooling=pooling)
 
     def encode(self, sentences, **kwargs):
         return self.model.encode_batch(list(sentences))
@@ -71,7 +74,8 @@ def run(args) -> None:
 
             model = SentenceTransformer(args.sbert_name, device="cpu")
         else:
-            model = TpuEngineForMTEB(args.model, mode)
+            model = TpuEngineForMTEB(args.model, mode,
+                                     pooling=getattr(args, "pooling", None))
         if mode == "f16":
             # reference MODE LABEL; on TPU the compute dtype is bfloat16
             # (there is no f16 compute path) — see eval_common.make_engine
@@ -95,6 +99,9 @@ def main() -> None:
     ap.add_argument("--tasks", nargs="+", default=TASKS)
     ap.add_argument("--sbert-name",
                     default="sentence-transformers/all-MiniLM-L6-v2")
+    ap.add_argument("--pooling", choices=["mean", "cls"], default=None,
+                    help="override pooling for ggml bins (HF dirs "
+                    "auto-detect from 1_Pooling/config.json)")
     ap.add_argument("--out-root", default=None,
                     help="results root (default: benchmarks/results)")
     run(ap.parse_args())

@@ -67,6 +67,8 @@ def run(args) -> None:
                "--port", str(port)]
         if getattr(args, "no_warmup", False):
             cmd.append("--no-warmup")
+        if getattr(args, "pooling", None):
+            cmd += ["--pooling", args.pooling]
         env = {**os.environ,
                # APPEND to PYTHONPATH (replacing it can drop the dir that
                # registers the TPU plugin)
@@ -97,6 +99,9 @@ def main() -> None:
     ap.add_argument("--port", type=int, default=PORT)
     ap.add_argument("--no-warmup", action="store_true",
                     help="pass --no-warmup to the spawned server")
+    ap.add_argument("--pooling", choices=["mean", "cls"], default=None,
+                    help="pass --pooling to the spawned server "
+                    "(BGE-family ggml bins need cls)")
     ap.add_argument("--out-root", default=None,
                     help="results root (default: benchmarks/results)")
     run(ap.parse_args())

@@ -50,11 +50,13 @@ def main() -> None:
     ap.add_argument("-m", "--model", required=True)
     ap.add_argument("corpus", nargs="?", default=None)
     ap.add_argument("-k", type=int, default=3)
+    ap.add_argument("--pooling", choices=["mean", "cls"], default=None,
+                    help="cls for BGE-family models (HF dirs auto-detect)")
     args = ap.parse_args()
 
     from bert_tpu import BertTPU
 
-    model = BertTPU.from_file(args.model)
+    model = BertTPU.from_file(args.model, pooling=args.pooling)
     if args.corpus:
         with open(args.corpus, encoding="utf-8") as f:
             texts = [ln.strip() for ln in f if ln.strip()]
