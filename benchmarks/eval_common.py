@@ -161,12 +161,13 @@ def make_engine(model_path: str, mode: str, *, max_batch: int = 1024,
     from bert_tpu import BertTPU
     from bert_tpu.quant import FTYPE_BY_NAME
 
-    kw = {"max_batch": max_batch}
-    if pooling != "mean":
-        # CLS pooling (BGE-family semantics): quant noise on a single
-        # token's vector instead of averaged over the sentence — measured
-        # separately because the deltas need not match the mean-pooled ones
-        kw["pooling"] = pooling
+    # ALWAYS explicit: the result is labeled with this pooling, so the
+    # engine must not be allowed to auto-detect something else from an HF
+    # dir's 1_Pooling config (review r4 — a "mean"-labeled run of a CLS
+    # checkpoint would silently measure CLS). CLS = BGE-family semantics:
+    # quant noise on a single token's vector instead of averaged over the
+    # sentence, measured separately from mean.
+    kw = {"max_batch": max_batch, "pooling": pooling}
     if mode == "f32":
         kw["compute_dtype"] = jnp.float32
     elif mode == "f16":

@@ -56,12 +56,19 @@ def main() -> int:
     ap.add_argument("--skip-pairwise", action="store_true")
     args = ap.parse_args()
 
-    # Env must be decided before bert_tpu/jax imports.
+    fams = [f.strip() for f in args.families.split(",") if f.strip()]
+    unknown = sorted(set(fams) - set(FAMILIES))
+    if unknown:
+        ap.error(f"unknown families {unknown}; have {sorted(FAMILIES)}")
+
+    # Env must be decided before bert_tpu/jax imports. Force mode is the
+    # script's whole purpose — a pre-exported BERT_TPU_MOSAIC_PROBE=1 must
+    # not silently turn the run into table short-circuits (review r4).
+    os.environ["BERT_TPU_MOSAIC_PROBE"] = "force"
     scratch = os.environ.get("BERT_TPU_CACHE_DIR")
     if not scratch:
         scratch = tempfile.mkdtemp(prefix="bert_tpu_probe_scratch_")
         os.environ["BERT_TPU_CACHE_DIR"] = scratch
-    os.environ.setdefault("BERT_TPU_MOSAIC_PROBE", "force")
 
     import jax
 
@@ -97,7 +104,6 @@ def main() -> int:
 
     rows = []
     drift = []
-    fams = [f.strip() for f in args.families.split(",") if f.strip()]
     for fam in fams:
         n_head, d_head = FAMILIES[fam]
         for seq in BUCKETS:
@@ -141,12 +147,18 @@ def main() -> int:
         "rows": rows,
         "probes": probe_times,
     }
+    if not probe_times:
+        # cached verdicts in a pre-populated BERT_TPU_CACHE_DIR can satisfy
+        # every shape with zero child compiles — that is NOT a force-probe
+        # exercise, fail loudly instead of printing a vacuous report
+        report["error"] = ("no child probes ran (pre-populated cache dir? "
+                           "point BERT_TPU_CACHE_DIR at a scratch dir)")
     print(json.dumps(report, indent=1))
     if args.out:
         os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
         with open(args.out, "w", encoding="utf-8") as f:
             json.dump(report, f, indent=1)
-    return 0
+    return 0 if probe_times else 1
 
 
 if __name__ == "__main__":

@@ -80,9 +80,14 @@ def run(args) -> None:
             # reference MODE LABEL; on TPU the compute dtype is bfloat16
             # (there is no f16 compute path) — see eval_common.make_engine
             print("[f16] note: compute dtype on TPU is bfloat16")
+        pooling = getattr(args, "pooling", None)
+        # pooling-suffixed like eval_common.result_dir: a cls re-run must
+        # not clobber the mean results (overwrite_results=True below)
+        suffix = f"-{pooling}" if pooling and pooling != "mean" else ""
         out_dir = os.path.join(
             out_root,
-            f"{os.path.basename(os.path.normpath(args.model))}_{mode}",
+            f"{os.path.basename(os.path.normpath(args.model))}{suffix}"
+            f"_{mode}",
         )
         tasks = mteb.get_tasks(tasks=args.tasks)
         evaluation = mteb.MTEB(tasks=tasks)

@@ -77,8 +77,10 @@ def run(args) -> None:
         proc = subprocess.Popen(cmd, cwd=repo, env=env)
         try:
             model = SocketModelForMTEB(port=port)
+            pooling = getattr(args, "pooling", None)
+            suffix = f"-{pooling}" if pooling and pooling != "mean" else ""
             out_dir = os.path.join(
-                out_root, f"server_{os.path.basename(model_path)}")
+                out_root, f"server_{os.path.basename(model_path)}{suffix}")
             evaluation = mteb.MTEB(tasks=mteb.get_tasks(tasks=args.tasks))
             evaluation.run(model, output_folder=out_dir,
                            eval_splits=["test"], overwrite_results=True)

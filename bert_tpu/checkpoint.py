@@ -41,9 +41,13 @@ def _flatten(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
 
 
 def save_params(path: str, params: Dict[str, Any], config: BertConfig,
-                vocab_tokens=None) -> None:
+                vocab_tokens=None, pooling=None) -> None:
     meta = dict(config.__dict__)
     meta["__format_version__"] = _FORMAT_VERSION
+    if pooling is not None:
+        # pooling is a model property (mean vs cls, engine.py) — the cache
+        # must carry it or a CLS model reloads as mean (review r4)
+        meta["__pooling__"] = pooling
     extra = {}
     if vocab_tokens is not None:
         extra["__vocab__"] = np.asarray(list(vocab_tokens), dtype=np.str_)
@@ -51,7 +55,7 @@ def save_params(path: str, params: Dict[str, Any], config: BertConfig,
 
 
 def load_params(path: str) -> Tuple[BertConfig, Dict[str, Any]]:
-    config, params, _ = load_params_and_vocab(path)
+    config, params, _, _ = load_params_and_vocab(path)
     return config, params
 
 
@@ -61,6 +65,7 @@ def load_params_and_vocab(path: str):
         version = meta.pop("__format_version__", 0)
         if version != _FORMAT_VERSION:
             raise ValueError(f"unsupported weight-cache version {version}")
+        pooling = meta.pop("__pooling__", None)
         config = BertConfig(**meta)
         vocab_tokens = ([str(t) for t in z["__vocab__"]]
                         if "__vocab__" in z else None)
@@ -85,7 +90,7 @@ def load_params_and_vocab(path: str):
             else:
                 params[group][key] = z[name]
             done.add(base)
-    return config, params, vocab_tokens
+    return config, params, vocab_tokens, pooling
 
 
 # --- training state (orbax) -------------------------------------------------

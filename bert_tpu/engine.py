@@ -261,7 +261,8 @@ class BertTPU:
         from .checkpoint import save_params
 
         host_params = jax.tree_util.tree_map(np.asarray, self.params)
-        save_params(path, host_params, self.config, self.vocab.tokens)
+        save_params(path, host_params, self.config, self.vocab.tokens,
+                    pooling=self.pooling)
 
     # -- introspection (bert.h:79-82) ---------------------------------------
     @property

@@ -243,10 +243,11 @@ def load_model(path: str,
     if path.endswith(".npz"):
         from .checkpoint import load_params_and_vocab
 
-        config, params, vocab_tokens = load_params_and_vocab(path)
+        config, params, vocab_tokens, pooling = load_params_and_vocab(path)
         if vocab_tokens is None:
             raise ValueError(f"{path}: weight cache has no vocab; "
                              "save with vocab_tokens")
         return LoadedModel(config=config, params=params,
-                           vocab=Vocab.from_tokens(vocab_tokens))
+                           vocab=Vocab.from_tokens(vocab_tokens),
+                           pooling=pooling)
     return load_ggml_model(path, quantize_ftype=quantize_ftype)

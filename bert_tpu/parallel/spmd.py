@@ -131,12 +131,15 @@ def make_sharded_encode_fn(
     use_pallas: Optional[bool] = None,
     dp_axis: str = DATA_AXIS,
     tp_axis: Optional[str] = MODEL_AXIS,
+    pooling: str = "mean",
 ):
     """jitted shard_map forward: (params, ids, mask) → [B, n_embd] f32.
 
     Batch is sharded over ``dp_axis``; weights per param_pspecs; the two
     row-parallel projections per layer end in ``psum`` over ``tp_axis``
-    (model.py encoder_layer).
+    (model.py encoder_layer). ``pooling`` as in bert_forward — pass the
+    model's property (BertTPU.pooling) so multi-chip encode matches the
+    engine.
     """
     import jax.numpy as jnp
 
@@ -152,7 +155,7 @@ def make_sharded_encode_fn(
         return bert_forward(
             params, ids, mask, config,
             compute_dtype=compute_dtype, use_pallas=use_pallas,
-            tp_axis=eff_tp_axis,
+            tp_axis=eff_tp_axis, pooling=pooling,
         )
 
     kwargs = dict(

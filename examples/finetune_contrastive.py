@@ -131,7 +131,8 @@ def main(argv=None) -> dict:
         save_train_state(args.ckpt, state)
         print(f"train state → {args.ckpt}")
     host_params = jax.tree_util.tree_map(np.asarray, state.params)
-    save_params(args.out, host_params, engine.config, engine.vocab.tokens)
+    save_params(args.out, host_params, engine.config, engine.vocab.tokens,
+                pooling=engine.pooling)
     print(f"weights → {args.out}  "
           f"(serve with BertTPU.from_file({args.out!r}))")
     return {"first_loss": first_loss, "last_loss": last_loss,

@@ -53,6 +53,33 @@ def test_weight_cache_roundtrip_dense(tmp_path):
                                       params2["layers"][k])
 
 
+def test_weight_cache_carries_pooling(tmp_path):
+    """A CLS engine's save_cache must reload as CLS (review r4: the cache
+    silently reverted CLS models to mean pooling)."""
+    from bert_tpu.checkpoint import load_params_and_vocab
+    from bert_tpu.engine import BertTPU
+    from bert_tpu.loader import LoadedModel
+    from bert_tpu.vocab import Vocab
+
+    params = params_from_named_tensors(random_named_tensors(CFG, 5), CFG)
+    tokens = ["[PAD]", "[UNK]", "[CLS]", "[SEP]"] + \
+        [f"tok{i}" for i in range(CFG.n_vocab - 4)]
+    loaded = LoadedModel(config=CFG, params=params,
+                         vocab=Vocab.from_tokens(tokens), pooling="cls")
+    eng = BertTPU(loaded)
+    assert eng.pooling == "cls"
+    path = str(tmp_path / "cls.npz")
+    eng.save_cache(path)
+    _, _, _, pooling = load_params_and_vocab(path)
+    assert pooling == "cls"
+    assert BertTPU.from_file(path).pooling == "cls"
+    # explicit override still wins over the stored property
+    assert BertTPU.from_file(path, pooling="mean").pooling == "mean"
+    # files that predate the field load as unknown → engine defaults mean
+    save_params(str(tmp_path / "old.npz"), params, CFG, vocab_tokens=tokens)
+    assert BertTPU.from_file(str(tmp_path / "old.npz")).pooling == "mean"
+
+
 def test_train_state_roundtrip(tmp_path):
     from bert_tpu.train import init_train_state, make_optimizer, make_train_step
 
