@@ -69,6 +69,7 @@ def make_train_step(
     use_pallas: Optional[bool] = False,
     remat: bool = True,
     jit: bool = True,
+    pooling: str = "mean",
 ):
     """Pure (state, batch) → (state, metrics) step, jitted by default.
 
@@ -85,12 +86,17 @@ def make_train_step(
     """
 
     def loss_fn(params, batch):
+        # pooling must match the checkpoint's readout (engine.pooling) —
+        # contrastive-tuning a CLS model through a mean-pooled loss trains
+        # the wrong vector (review r4)
         emb_a = bert_forward(params, batch["ids_a"], batch["mask_a"], config,
                              compute_dtype=compute_dtype,
-                             use_pallas=use_pallas, remat=remat)
+                             use_pallas=use_pallas, remat=remat,
+                             pooling=pooling)
         emb_b = bert_forward(params, batch["ids_b"], batch["mask_b"], config,
                              compute_dtype=compute_dtype,
-                             use_pallas=use_pallas, remat=remat)
+                             use_pallas=use_pallas, remat=remat,
+                             pooling=pooling)
         return info_nce_loss(emb_a, emb_b, temperature)
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array]
@@ -117,6 +123,7 @@ def make_sharded_train_step(
     *,
     temperature: float = 0.05,
     compute_dtype=jnp.float32,
+    pooling: str = "mean",
 ):
     """GSPMD-jitted train step over the mesh + state placed on it.
 
@@ -157,7 +164,7 @@ def make_sharded_train_step(
 
     step_fn = make_train_step(config, optimizer, temperature=temperature,
                               compute_dtype=compute_dtype, use_pallas=False,
-                              jit=False)
+                              jit=False, pooling=pooling)
     batch_sh = _sh(batch_pspec("data"))
     jitted = jax.jit(
         step_fn,

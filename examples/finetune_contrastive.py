@@ -98,11 +98,13 @@ def main(argv=None) -> dict:
         dp, tp = max(1, args.dp), max(1, args.tp)
         mesh = make_mesh(dp * tp, tp=tp)
         state, step_fn = make_sharded_train_step(
-            mesh, engine.config, opt, state, temperature=args.temperature)
+            mesh, engine.config, opt, state, temperature=args.temperature,
+            pooling=engine.pooling)
         print(f"sharded step over mesh (data={dp}, model={tp})")
     else:
         step_fn = make_train_step(engine.config, opt,
-                                  temperature=args.temperature)
+                                  temperature=args.temperature,
+                                  pooling=engine.pooling)
 
     rng = np.random.default_rng(0)
     n = len(keep)
