@@ -104,6 +104,8 @@ def main() -> None:
                     default=os.path.join(DATA_DIR, "emotion_en.tsv"),
                     help="label<TAB>text TSV")
     ap.add_argument("--mode", default="q4_0", choices=MODES)
+    ap.add_argument("--pooling", default="mean", choices=["mean", "cls"],
+                    help="cls = BGE-family semantics (eval_common)")
     ap.add_argument("--max-batch", type=int, default=1024)
     ap.add_argument("--task-name", default="EmotionLocal")
     ap.add_argument("-k", "--folds", type=int, default=5)
@@ -115,7 +117,8 @@ def main() -> None:
     elif not args.model:
         ap.error("need -m MODEL or --fixture")
 
-    model = make_engine(args.model, args.mode, max_batch=args.max_batch)
+    model = make_engine(args.model, args.mode, max_batch=args.max_batch,
+                        pooling=args.pooling)
     model.encode_batch(texts[:8])  # warm the shape set
 
     t0 = time.time()
@@ -130,7 +133,7 @@ def main() -> None:
 
     import jax
 
-    out_dir = result_dir(args.model, args.mode)
+    out_dir = result_dir(args.model, args.mode, pooling=args.pooling)
     payload = {
         "test": {"main_score": acc, "accuracy": acc,
                  "evaluation_time": round(dt, 2)},
@@ -139,6 +142,7 @@ def main() -> None:
         "n_test": n_tested,  # every item held out exactly once
         "classes": sorted(set(labels)),
         "backend": jax.default_backend(),  # result provenance
+        "pooling": args.pooling,
     }
     if args.mode == "f16":
         payload["compute_note"] = ("mode 'f16' is the reference label; on "
