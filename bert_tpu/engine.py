@@ -299,7 +299,7 @@ class BertTPU:
         out = np.empty((n, self.config.n_embd), dtype=np.float32)
         pending = self._dispatch_all(token_lists)
         self._gather_pending(pending, out)
-        self.timers.sentences += n
+        self.timers.add_sentences(n)
         return out
 
     def _dispatch_all(self, token_lists: Sequence[Sequence[int]]) -> list:
@@ -417,7 +417,7 @@ class BertTPU:
         s, e, pending = item
         out = np.empty((e - s, self.config.n_embd), dtype=np.float32)
         self._gather_pending(pending, out)
-        self.timers.sentences += e - s
+        self.timers.add_sentences(e - s)
         return out
 
     def encode_iter(self, texts: Sequence[str], window: int = 4096):

@@ -28,9 +28,16 @@ V5E_HBM_BW = 819e9
 
 
 class PhaseTimers:
-    """Accumulates wall time per named phase + per-bucket execution counts."""
+    """Accumulates wall time per named phase + per-bucket execution counts.
+
+    Thread-safe: the server's ``--pipeline-depth > 1`` runs evals in
+    concurrent executor threads, and unsynchronized ``+=`` on the
+    accumulators loses updates (review r4)."""
 
     def __init__(self) -> None:
+        import threading
+
+        self._lock = threading.Lock()
         self.totals: Dict[str, float] = defaultdict(float)
         self.counts: Dict[str, int] = defaultdict(int)
         self.bucket_counts: Dict[tuple, int] = defaultdict(int)
@@ -42,11 +49,18 @@ class PhaseTimers:
         try:
             yield
         finally:
-            self.totals[name] += time.perf_counter() - t0
-            self.counts[name] += 1
+            dt = time.perf_counter() - t0
+            with self._lock:
+                self.totals[name] += dt
+                self.counts[name] += 1
 
     def record_bucket(self, batch: int, seq: int, kind: str = "") -> None:
-        self.bucket_counts[(batch, seq, kind)] += 1
+        with self._lock:
+            self.bucket_counts[(batch, seq, kind)] += 1
+
+    def add_sentences(self, n: int) -> None:
+        with self._lock:
+            self.sentences += n
 
     def summary(self) -> Dict:
         return {

@@ -166,6 +166,17 @@ class BatchingScheduler:
                 await task
             except asyncio.CancelledError:
                 pass
+        # fail queued-but-never-collected requests too: the collector is
+        # dead, so their futures would otherwise strand any client blocked
+        # in submit()/submit_many() forever (review r4 — in-flight batches
+        # already get ConnectionError above, queued ones got nothing)
+        while True:
+            try:
+                _, fut = self.queue.get_nowait()
+            except asyncio.QueueEmpty:
+                break
+            if not fut.done():
+                fut.set_exception(ConnectionError("server shutting down"))
 
     async def _collect(self) -> List[Tuple[str, asyncio.Future]]:
         first = await self.queue.get()
@@ -331,7 +342,14 @@ class EmbeddingServer:
             need = 8 + 4 * n_tok
             if not await self._fill(reader, buf, need):
                 return False
-            ids, _ = self._read_token_list(buf, 4)
+            try:
+                # out-of-vocab ids must take the same one-line rejection
+                # path as the BATCH frame, not the generic handler
+                # traceback (review r4)
+                ids, _ = self._read_token_list(buf, 4)
+            except ValueError as exc:
+                logger.warning("rejecting framed eval: %s", exc)
+                return False
             del buf[:need]
             emb = await self.scheduler.submit_tokens(ids)
             writer.write(np.asarray(emb, dtype="<f4").tobytes())
@@ -411,7 +429,10 @@ class EmbeddingServer:
                 emb = await self.scheduler.submit(text)
                 writer.write(np.asarray(emb, dtype="<f4").tobytes())
                 await writer.drain()
-        except (ConnectionResetError, asyncio.IncompleteReadError):
+        except (ConnectionError, asyncio.IncompleteReadError):
+            # ConnectionError covers reset, abort AND BrokenPipeError —
+            # all three are routine client-vanished shapes, not failures
+            # worth a traceback (review r4)
             pass
         except Exception:  # eval failure (device error, bad batch, ...)
             # close THIS connection with a log instead of leaking an
@@ -458,6 +479,9 @@ def main(argv=None) -> None:
     ap.add_argument("--pipeline-depth", type=int, default=1,
                     help="micro-batches allowed in flight concurrently "
                     "(>1 overlaps batches on compute-bound hosts)")
+    ap.add_argument("--queue-depth", type=int, default=None,
+                    help="pending-request backpressure bound (default "
+                    "max_batch*128; 0 = unbounded)")
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip pre-compiling bucket shapes at startup")
     ap.add_argument("--warmup-manifest", default=None, metavar="PATH",
@@ -491,7 +515,8 @@ def main(argv=None) -> None:
     server = EmbeddingServer(model, host=args.host, port=args.port,
                              max_batch=args.max_batch,
                              batch_window_ms=args.batch_window_ms,
-                             pipeline_depth=args.pipeline_depth)
+                             pipeline_depth=args.pipeline_depth,
+                             queue_depth=args.queue_depth)
     # graceful SIGTERM (systemd/docker stop): without this the process
     # dies mid-eval and the warmup-manifest write-back never runs
     import signal

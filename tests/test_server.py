@@ -476,3 +476,23 @@ def test_failed_batch_not_counted_as_served(model):
             await sched.stop()
 
     asyncio.run(go())
+
+
+def test_stop_fails_queued_uncollected_requests(model):
+    """stop() must resolve futures still sitting in the queue (never
+    collected into a batch) with ConnectionError — otherwise a client
+    blocked in submit() hangs forever after shutdown (review r4)."""
+    from bert_tpu.server import BatchingScheduler
+
+    async def go():
+        sched = BatchingScheduler(model, max_batch=4, batch_window_ms=0.5)
+        # deliberately NOT started: queued items are never collected —
+        # the same shape as requests enqueued after the collector died
+        sub = asyncio.get_running_loop().create_task(
+            sched.submit("the store"))
+        await asyncio.sleep(0.05)  # let submit() enqueue its future
+        await sched.stop()
+        with pytest.raises(ConnectionError):
+            await asyncio.wait_for(sub, timeout=5)
+
+    asyncio.run(go())
