@@ -42,6 +42,12 @@ def _flatten(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
 
 def save_params(path: str, params: Dict[str, Any], config: BertConfig,
                 vocab_tokens=None, pooling=None) -> None:
+    if not path.endswith(".npz"):
+        # np.savez would silently append ".npz", landing the file at a
+        # different path than requested — and loader.load_model dispatches
+        # on the suffix, so the caller's original path would then misroute
+        # to the ggml parser (review r4)
+        raise ValueError(f"weight-cache path must end in .npz, got {path!r}")
     meta = dict(config.__dict__)
     meta["__format_version__"] = _FORMAT_VERSION
     if pooling is not None:

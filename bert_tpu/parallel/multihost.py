@@ -53,6 +53,13 @@ def init_distributed(
         # TPU-pod path: the runtime knows the topology
         jax.distributed.initialize()
     else:
+        if num_processes is None or process_id is None:
+            # fail with the knobs THIS module documents, not jax's
+            # internal "must specify num_processes" (review r4)
+            raise ValueError(
+                f"explicit coordinator {coordinator!r} needs num_processes "
+                f"and process_id too (got {num_processes}/{process_id}) — "
+                f"set {ENV_NPROC} and {ENV_PID} alongside {ENV_COORD}")
         jax.distributed.initialize(coordinator_address=coordinator,
                                    num_processes=num_processes,
                                    process_id=process_id)
@@ -89,9 +96,11 @@ def host_local_batch_to_global(mesh, *arrays):
     from jax.experimental import multihost_utils
     from jax.sharding import PartitionSpec as P
 
-    spec = P(DATA_AXIS, *([None] * (arrays[0].ndim - 1)))
     out = tuple(
-        multihost_utils.host_local_array_to_global_array(a, mesh, spec)
+        multihost_utils.host_local_array_to_global_array(
+            # per-array spec: mixed-rank batches (ids [B,T] + lengths [B])
+            # must each get a rank-matched spec (review r4)
+            a, mesh, P(DATA_AXIS, *([None] * (a.ndim - 1))))
         for a in arrays
     )
     return out if len(out) > 1 else out[0]

@@ -14,7 +14,6 @@ first-class" requirement, not a translation.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional
 
 import jax
@@ -132,6 +131,7 @@ def make_sharded_encode_fn(
     dp_axis: str = DATA_AXIS,
     tp_axis: Optional[str] = MODEL_AXIS,
     pooling: str = "mean",
+    params_example=None,
 ):
     """jitted shard_map forward: (params, ids, mask) → [B, n_embd] f32.
 
@@ -140,6 +140,12 @@ def make_sharded_encode_fn(
     (model.py encoder_layer). ``pooling`` as in bert_forward — pass the
     model's property (BertTPU.pooling) so multi-chip encode matches the
     engine.
+
+    Pass ``params_example`` (the concrete weight tree) for quantized or
+    int8 trees: their leaves differ in rank from the named weight (an
+    Int8Tensor's ``scale[L, N]`` next to ``w_i8[L, K, N]``), so the prefix
+    spec tree must be expanded against the real structure
+    (review r4 — without it int8 params crash shard_map spec matching).
     """
     import jax.numpy as jnp
 
@@ -149,8 +155,6 @@ def make_sharded_encode_fn(
     tp = mesh.shape.get(tp_axis, 1) if tp_axis else 1
     eff_tp_axis = tp_axis if (tp_axis and tp > 1) else None
 
-    pspecs = param_pspecs(tp_axis if tp > 1 else None)
-
     def local_fwd(params, ids, mask):
         return bert_forward(
             params, ids, mask, config,
@@ -158,6 +162,13 @@ def make_sharded_encode_fn(
             tp_axis=eff_tp_axis, pooling=pooling,
         )
 
+    if params_example is not None:
+        return sharded_jit(mesh, local_fwd, n_batch_args=2,
+                           out_spec=P(dp_axis, None),
+                           params_example=params_example,
+                           dp_axis=dp_axis, tp_axis=tp_axis)
+
+    pspecs = param_pspecs(tp_axis if tp > 1 else None)
     kwargs = dict(
         mesh=mesh,
         in_specs=(pspecs, batch_pspec(dp_axis), batch_pspec(dp_axis)),

@@ -20,7 +20,6 @@ quantize → serve), matching the reference's pipeline (convert → quantize).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -37,9 +36,23 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
+def _decay_mask(params) -> Dict[str, Dict[str, bool]]:
+    """Standard BERT fine-tuning decay mask: weight matrices and embedding
+    tables decay; LayerNorm scales/biases and projection biases do not
+    (review r4 — decaying LN scales toward zero degrades long runs). Keyed
+    by NAME, not ndim: stacked layer leaves are all rank ≥ 2 here (biases
+    are [L, D]), so the usual ndim<2 heuristic would decay everything."""
+    emb_decay = ("word", "token_type", "position")
+    return {
+        "embeddings": {k: k in emb_decay for k in params["embeddings"]},
+        "layers": {k: k.endswith("_w") for k in params["layers"]},
+    }
+
+
 def make_optimizer(learning_rate: float = 2e-5,
                    weight_decay: float = 0.01) -> optax.GradientTransformation:
-    return optax.adamw(learning_rate, weight_decay=weight_decay)
+    return optax.adamw(learning_rate, weight_decay=weight_decay,
+                       mask=_decay_mask)
 
 
 def init_train_state(params, optimizer) -> TrainState:
@@ -133,12 +146,22 @@ def make_sharded_train_step(
     from jax.sharding import NamedSharding
     from jax.sharding import PartitionSpec as P
 
+    from .parallel.mesh import DATA_AXIS, MODEL_AXIS
     from .parallel.sharding import batch_pspec, param_pspecs
     from .parallel.spmd import _expand_prefix_specs
 
-    tp = mesh.shape.get("model", 1)
+    if DATA_AXIS not in mesh.shape:
+        # every spec below names the standard axes — a mesh with custom
+        # axis names would silently run tp=1 and then crash on the batch
+        # sharding (review r4); fail with the fix spelled out
+        raise ValueError(
+            f"mesh axes {tuple(mesh.shape)} lack '{DATA_AXIS}' — build the "
+            f"mesh with parallel.mesh.make_mesh (axes '{DATA_AXIS}'/"
+            f"'{MODEL_AXIS}')")
+    tp = mesh.shape.get(MODEL_AXIS, 1)
     pspecs = _expand_prefix_specs(state.params,
-                                  param_pspecs("model" if tp > 1 else None))
+                                  param_pspecs(MODEL_AXIS if tp > 1
+                                               else None))
 
     def _sh(spec):
         return NamedSharding(mesh, spec)
@@ -152,20 +175,29 @@ def make_sharded_train_step(
     # shardings: mu/nu mirror the params, scalar counts replicate.
     ref_opt = optimizer.init(placed_params)
 
-    def _place_opt(ref, v):
+    def _ref_sharding(ref):
         sh = ref.sharding
         if not isinstance(sh, NamedSharding):  # scalar counts → replicate
             sh = _sh(P())
-        return jax.device_put(v, sh)
+        return sh
 
-    opt_state = jax.tree_util.tree_map(_place_opt, ref_opt, state.opt_state)
+    opt_shardings = jax.tree_util.tree_map(_ref_sharding, ref_opt)
+    # free the throwaway zero moments BEFORE placing the real ones: mu+nu
+    # are ~2x the parameter footprint, and holding both trees doubles the
+    # transient HBM peak for nothing (review r4)
+    for leaf in jax.tree_util.tree_leaves(ref_opt):
+        if hasattr(leaf, "delete"):
+            leaf.delete()
+    del ref_opt
+    opt_state = jax.tree_util.tree_map(jax.device_put, state.opt_state,
+                                       opt_shardings)
     placed = TrainState(params=placed_params, opt_state=opt_state,
                         step=jax.device_put(state.step, _sh(P())))
 
     step_fn = make_train_step(config, optimizer, temperature=temperature,
                               compute_dtype=compute_dtype, use_pallas=False,
                               jit=False, pooling=pooling)
-    batch_sh = _sh(batch_pspec("data"))
+    batch_sh = _sh(batch_pspec(DATA_AXIS))
     jitted = jax.jit(
         step_fn,
         in_shardings=(None, {"ids_a": batch_sh, "mask_a": batch_sh,
