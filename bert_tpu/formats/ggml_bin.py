@@ -20,7 +20,6 @@ biases/LayerNorms f32, matching models/quantize.cpp:154-167.
 
 from __future__ import annotations
 
-import re
 import struct
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
@@ -41,7 +40,6 @@ from ..quant import (
 
 GGML_MAGIC = 0x67676D6C
 
-_QUANT_NAME_RE = re.compile(r".*weight")  # models/quantize.cpp:36,154
 
 
 @dataclass
@@ -160,7 +158,9 @@ def _tensor_ftype_for(name: str, arr: np.ndarray, file_ftype: int) -> int:
     (convert-to-ggml.py:93-98, quantize.cpp:154-167)."""
     if file_ftype == GGML_FTYPE_F32:
         return GGML_FTYPE_F32
-    if arr.ndim == 2 and _QUANT_NAME_RE.fullmatch(name) and name.endswith(".weight"):
+    # 2-D ".weight" tensors quantize (the reference's ".*weight" regex,
+    # models/quantize.cpp:36,154 — endswith implements the same rule)
+    if arr.ndim == 2 and name.endswith(".weight"):
         return file_ftype
     return GGML_FTYPE_F32
 

@@ -36,6 +36,7 @@ from .quant import (
     GGML_FTYPE_Q4_1,
     QuantTensor,
     repack_codes_tpu,
+    stack_quant,
 )
 from .vocab import Vocab
 
@@ -51,18 +52,27 @@ class LoadedModel:
     pooling: Optional[str] = None
 
 
-def _stack_quant(qts) -> QuantTensor:
-    from .quant import stack_quant
-
-    return stack_quant(qts)
-
-
 def params_from_ggml(mf: GgmlModelFile) -> Tuple[BertConfig, Dict[str, Any]]:
     config = BertConfig.from_hparams(mf.hparams)
 
     missing = [n for n in expected_tensor_names(config) if n not in mf.tensors]
     if missing:
         raise ValueError(f"model file missing tensors: {missing[:5]}...")
+
+    # ggml stores ftype PER TENSOR: the stacked-scan layout below assumes
+    # every layer's instance of a weight shares one codec (stack_quant
+    # would silently drop later layers' mins on a q4_0/q4_1 mix, and a
+    # q4/dense mix would mis-shape the stack) — reject mixed files with a
+    # clear error instead (review r4)
+    for key, tmpl in {**_LAYER_WEIGHTS,
+                      **{f"qkv_{k}": v + ".weight"
+                         for k, v in _QKV_SOURCES.items()}}.items():
+        ftypes = {mf.tensors[tmpl.format(i=i)].ftype
+                  for i in range(config.n_layer)}
+        if len(ftypes) > 1:
+            raise ValueError(
+                f"{key}: per-layer ftypes differ across layers "
+                f"({sorted(ftypes)}) — mixed-codec files are not supported")
 
     emb = {}
     for key, name in _EMB_WEIGHTS.items():
@@ -103,7 +113,7 @@ def params_from_ggml(mf: GgmlModelFile) -> Tuple[BertConfig, Dict[str, Any]]:
             qt_list.append(repack_codes_tpu(codes, scales, mins))
         else:
             w_list.append(fuse_qkv_weights(*[r.to_f32().T for r in recs], h))
-    layers["qkv_w"] = _stack_quant(qt_list) if qt_list else np.stack(w_list)
+    layers["qkv_w"] = stack_quant(qt_list) if qt_list else np.stack(w_list)
     layers["qkv_b"] = np.stack(b_list)
 
     for key, tmpl in _LAYER_WEIGHTS.items():
@@ -113,7 +123,7 @@ def params_from_ggml(mf: GgmlModelFile) -> Tuple[BertConfig, Dict[str, Any]]:
             # file stores [out, in] with q4 blocks along in (= ggml ne[0]);
             # repack_codes_tpu transposes to logical W[in, out] bit-exactly.
             qts = [repack_codes_tpu(r.codes, r.scales, r.mins) for r in recs]
-            layers[key] = _stack_quant(qts)
+            layers[key] = stack_quant(qts)
         elif key in _MATMUL_KEYS:
             layers[key] = np.stack([r.to_f32().T for r in recs])
         else:
@@ -128,20 +138,30 @@ def load_ggml_model(path: str,
     on load — one-step parity with running models/quantize.cpp first.
     Files already stored quantized keep their bit-exact repacked codes
     (requesting a different ftype for them is an error, not a requant)."""
+    if quantize_ftype not in (None, GGML_FTYPE_Q4_0, GGML_FTYPE_Q4_1):
+        # silently ignoring (or recording an ftype the params don't have)
+        # would lie in config/stats (review r4)
+        raise ValueError(f"quantize-on-load supports q4_0/q4_1 only, "
+                         f"got ftype {quantize_ftype}")
     mf = read_ggml(path)
+    stored_ftype = int(mf.hparams.ftype)
+    if (quantize_ftype is not None
+            and stored_ftype in (GGML_FTYPE_Q4_0, GGML_FTYPE_Q4_1)
+            and stored_ftype != quantize_ftype):
+        # decidable from the header — refuse BEFORE the full repack pass
+        # (tens of seconds of first-touch pages for a large model on this
+        # class of VM, review r4)
+        raise ValueError(
+            f"{path} stores ftype {stored_ftype}; refusing a lossy "
+            f"requantization to {quantize_ftype}")
     config, params = params_from_ggml(mf)
-    if quantize_ftype in (GGML_FTYPE_Q4_0, GGML_FTYPE_Q4_1):
-        if config.ftype in (GGML_FTYPE_Q4_0, GGML_FTYPE_Q4_1):
-            if config.ftype != quantize_ftype:
-                raise ValueError(
-                    f"{path} stores ftype {config.ftype}; refusing a lossy "
-                    f"requantization to {quantize_ftype}")
-        else:
-            from .params import quantize_params
+    if (quantize_ftype is not None
+            and config.ftype not in (GGML_FTYPE_Q4_0, GGML_FTYPE_Q4_1)):
+        from .params import quantize_params
 
-            params = quantize_params(params, quantize_ftype)
-            config = BertConfig(**{**config.__dict__,
-                                   "ftype": quantize_ftype})
+        params = quantize_params(params, quantize_ftype)
+        config = BertConfig(**{**config.__dict__,
+                               "ftype": quantize_ftype})
     vocab = Vocab.from_tokens(mf.vocab_tokens)
     return LoadedModel(config=config, params=params, vocab=vocab)
 
@@ -178,6 +198,10 @@ def load_hf_model(model_dir: str,
     converter (convert-to-ggml.py:86-87).
     """
     import json
+
+    if quantize_ftype not in (None, GGML_FTYPE_Q4_0, GGML_FTYPE_Q4_1):
+        raise ValueError(f"quantize-on-load supports q4_0/q4_1 only, "
+                         f"got ftype {quantize_ftype}")
 
     with open(os.path.join(model_dir, "config.json")) as f:
         hf_cfg = json.load(f)

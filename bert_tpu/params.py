@@ -177,6 +177,7 @@ def params_from_named_tensors(
     from .quant import (
         GGML_FTYPE_Q4_0,
         GGML_FTYPE_Q4_1,
+        q4_roundtrip,
         quantize_tensor_tpu,
         stack_quant,
     )
@@ -186,11 +187,19 @@ def params_from_named_tensors(
             raise KeyError(f"missing tensor {name!r} in checkpoint")
         return np.asarray(named[name], dtype=np.float32)
 
+    quantize = quantize_ftype in (GGML_FTYPE_Q4_0, GGML_FTYPE_Q4_1)
+
     emb = {k: get(v).astype(dtype) for k, v in _EMB_WEIGHTS.items()}
+    if quantize:
+        # the reference quantizes EVERY 2-D ".*weight" tensor including the
+        # embedding tables (SURVEY §2.5); tables stay dense here (gathers),
+        # so quantize-on-load must round-trip them through Q4 to match a
+        # quantized FILE's densified values (review r4)
+        for k in ("word", "token_type", "position"):
+            emb[k] = q4_roundtrip(get(_EMB_WEIGHTS[k]),
+                                  quantize_ftype).astype(dtype)
     emb["ln_scale"] = get(_EMB_WEIGHTS["ln_scale"])  # keep f32
     emb["ln_bias"] = get(_EMB_WEIGHTS["ln_bias"])
-
-    quantize = quantize_ftype in (GGML_FTYPE_Q4_0, GGML_FTYPE_Q4_1)
 
     def stack_matmul(per_layer):
         """[in, out] weights per layer → stacked dense or QuantTensor."""
@@ -224,10 +233,18 @@ def params_from_named_tensors(
 def quantize_params(params: Dict[str, Dict[str, WeightLike]],
                     ftype: int) -> Dict[str, Dict[str, WeightLike]]:
     """Quantize a DENSE params tree's matmul weights to Q4_0/Q4_1 stacked
-    QuantTensors (weight-only; biases/LayerNorms/embeddings untouched) —
-    the on-load path for f32/f16 ggml files, mirroring what
-    models/quantize.cpp does offline for the reference."""
-    from .quant import quantize_tensor_tpu, stack_quant
+    QuantTensors and round-trips the embedding tables through Q4
+    (biases/LayerNorms untouched) — the on-load path for f32/f16 ggml
+    files, matching what models/quantize.cpp writes for every 2-D
+    ".*weight" tensor (embeddings included, review r4)."""
+    from .quant import q4_roundtrip, quantize_tensor_tpu, stack_quant
+
+    emb = dict(params["embeddings"])
+    for k in ("word", "token_type", "position"):
+        v = emb[k]
+        if not isinstance(v, QuantTensor):
+            emb[k] = q4_roundtrip(np.asarray(v, np.float32), ftype).astype(
+                np.asarray(v).dtype)
 
     layers = dict(params["layers"])
     for key in _MATMUL_KEYS:
@@ -238,7 +255,7 @@ def quantize_params(params: Dict[str, Dict[str, WeightLike]],
         layers[key] = stack_quant(
             [quantize_tensor_tpu(stacked[l], ftype)
              for l in range(stacked.shape[0])])
-    return {"embeddings": params["embeddings"], "layers": layers}
+    return {"embeddings": emb, "layers": layers}
 
 
 def params_to_int8(params: Dict[str, Dict[str, WeightLike]]
@@ -267,7 +284,7 @@ def params_to_int8(params: Dict[str, Dict[str, WeightLike]]
         else:
             dense_stack = np.asarray(w, np.float32)
         layers[key] = quantize_w8(dense_stack)
-    return {"embeddings": params["embeddings"], "layers": layers}
+    return {"embeddings": emb, "layers": layers}
 
 
 def random_named_tensors(

@@ -55,9 +55,16 @@ FTYPE_BY_NAME = {v: k for k, v in FTYPE_NAMES.items()}
 def _round_away(x: np.ndarray) -> np.ndarray:
     """Round half AWAY from zero, matching the C ``roundf`` the reference
     quantizer uses (models/quantize.cpp via ggml). np.rint rounds half to
-    EVEN, which diverges on exact ties (e.g. 2.5 → rint 2, roundf 3) and
-    would break bit parity with reference-quantized files (review r4)."""
-    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+    EVEN, which diverges on exact ties (e.g. 2.5 → rint 2, roundf 3).
+
+    The +0.5-and-floor must run in float64: in f32, |x| + 0.5 for
+    x = 0.5 − 2⁻²⁵ lands exactly on 1.0 (the f32 tie rounds UP across the
+    binade boundary) so the f32 formula returns 1 where roundf returns 0.
+    Every f32 magnitude is exact in f64 and the f64 sum of |x| + 0.5 is
+    exact for |x| < 2²⁵, so the widened formula equals roundf bit-for-bit
+    (fuzz-pinned against libm in tests/test_quant.py; review r4)."""
+    xd = np.abs(x).astype(np.float64)
+    return (np.sign(x) * np.floor(xd + 0.5)).astype(np.float32)
 
 
 def q4_0_quantize(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -102,6 +109,23 @@ def q4_1_dequantize(
     blocks = codes.reshape(*lead, k // QK, QK).astype(np.float32)
     out = blocks * scales[..., None] + mins[..., None]
     return out.reshape(*lead, k).astype(np.float32)
+
+
+def q4_roundtrip(x: np.ndarray, ftype: int) -> np.ndarray:
+    """Quantize→dequantize a dense f32 tensor: exactly the values a
+    Q4-quantized ggml FILE yields after load-time densification
+    (formats/ggml_bin.to_f32). Used so quantize-on-load matches the
+    write-quantized-file-then-load flow bit for bit on tensors that stay
+    dense in memory — the embedding tables, which the reference's
+    quantizer DOES quantize (2-D ".*weight" rule, models/quantize.cpp:
+    154-167) but which this engine densifies for gathers (review r4)."""
+    if ftype == GGML_FTYPE_Q4_0:
+        codes, scales = q4_0_quantize(x)
+        return q4_0_dequantize(codes, scales)
+    if ftype == GGML_FTYPE_Q4_1:
+        codes, scales, mins = q4_1_quantize(x)
+        return q4_1_dequantize(codes, scales, mins)
+    raise ValueError(f"q4_roundtrip: unsupported ftype {ftype}")
 
 
 def nibble_histogram(codes: np.ndarray) -> np.ndarray:

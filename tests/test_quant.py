@@ -1,6 +1,7 @@
 """Q4_0/Q4_1 codec tests: round-trips, error bounds, layout equivalence
 (SURVEY.md §4 "quant/dequant round-trip")."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -114,3 +115,60 @@ def test_nibble_histogram():
     codes = np.array([[0, 0, 15, 8]], dtype=np.uint8)
     h = nibble_histogram(codes)
     assert h[0] == 2 and h[8] == 1 and h[15] == 1 and h.sum() == 4
+
+
+def test_round_away_matches_c_roundf():
+    """Bit parity of the quantizer's rounding with libm roundf — including
+    the f32 binade-boundary trap: |x| + 0.5 computed IN f32 rounds
+    0.49999997f up to 1.0 (exact tie at the 1.0 boundary) where roundf
+    returns 0 (review r4)."""
+    import ctypes
+    import ctypes.util
+
+    from bert_tpu.quant import _round_away
+
+    libm = ctypes.CDLL(ctypes.util.find_library("m"))
+    libm.roundf.restype = ctypes.c_float
+    libm.roundf.argtypes = [ctypes.c_float]
+
+    eps = np.float32(2.0 ** -25)
+    edge = [0.5 - eps, -(0.5 - eps), 0.5, -0.5, 1.5, 2.5, -2.5,
+            0.49999997, 1.4999999, 8388607.5, 0.0, -0.0]
+    rng = np.random.default_rng(11)
+    fuzz = (rng.standard_normal(4096) * rng.choice(
+        [0.1, 1.0, 16.0, 1e4], size=4096)).astype(np.float32)
+    xs = np.concatenate([np.asarray(edge, np.float32), fuzz])
+    ours = _round_away(xs)
+    ref = np.asarray([libm.roundf(ctypes.c_float(float(v))) for v in xs],
+                     np.float32)
+    np.testing.assert_array_equal(ours, ref)
+
+
+@pytest.mark.parametrize("ftype", [2, 3], ids=["q4_0", "q4_1"])
+def test_quantize_on_load_matches_quantized_file(ftype, tmp_path):
+    """The two documented-equivalent flows — quantize_ftype on a dense file
+    vs loading a file written quantized — must agree BIT-exactly on every
+    leaf, embedding tables included (review r4: on-load quantization used
+    to skip the tables, which the reference's 2-D .*weight rule covers)."""
+    from bert_tpu.formats import GgmlHParams, write_ggml
+    from bert_tpu.loader import load_ggml_model
+    from bert_tpu.params import BertConfig, random_named_tensors
+    from fixture_vocab import build_fixture_tokens
+
+    cfg = BertConfig(n_vocab=30522, n_max_tokens=64, n_embd=64,
+                     n_intermediate=128, n_head=4, n_layer=2)
+    named = random_named_tensors(cfg, seed=9)
+    toks = build_fixture_tokens()
+    args = (cfg.n_vocab, cfg.n_max_tokens, cfg.n_embd, cfg.n_intermediate,
+            cfg.n_head, cfg.n_layer)
+    write_ggml(str(tmp_path / "f32.bin"), GgmlHParams(*args, ftype=0),
+               toks, named)
+    write_ggml(str(tmp_path / "q.bin"), GgmlHParams(*args, ftype=ftype),
+               toks, named)
+    a = load_ggml_model(str(tmp_path / "f32.bin"), quantize_ftype=ftype)
+    b = load_ggml_model(str(tmp_path / "q.bin"))
+    fa = jax.tree_util.tree_leaves(a.params)
+    fb = jax.tree_util.tree_leaves(b.params)
+    assert len(fa) == len(fb)
+    for la, lb in zip(fa, fb):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
