@@ -364,28 +364,32 @@ def measure_device_side(name: str, rows: int = 512, t: int = 16) -> float:
     mask = jnp.ones((rows, t), jnp.float32)
 
     def chain(n):
-        def body(c, _):
-            ids2 = ids + (c * 1e-30).astype(jnp.int32)
-            emb = bert_forward(params, ids2, mask, cfg,
-                               compute_dtype=jnp.bfloat16)
-            return c + emb[0, 0].astype(jnp.float32) * 1e-30, ()
+        # params MUST be a jit argument, not a closure capture: captured
+        # arrays are inlined as HLO constants, and on this box the compile
+        # request is shipped over the tunnel — bge-large's 210 MB of q4
+        # codes as literals exceeds the remote_compile body limit
+        # (HTTP 413, observed r4).
+        def run(p):
+            def body(c, _):
+                ids2 = ids + (c * 1e-30).astype(jnp.int32)
+                emb = bert_forward(p, ids2, mask, cfg,
+                                   compute_dtype=jnp.bfloat16)
+                return c + emb[0, 0].astype(jnp.float32) * 1e-30, ()
 
-        def run(x):
-            del x
             c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
             return c
 
         return jax.jit(run)
 
     f_short, f_long = chain(8), chain(24)
-    float(f_short(0)), float(f_long(0))  # compile + warm
+    float(f_short(params)), float(f_long(params))  # compile + warm
     step = float("inf")
     for _ in range(3):
         t0 = time.time()
-        float(f_short(0))
+        float(f_short(params))
         t_short = time.time() - t0
         t0 = time.time()
-        float(f_long(0))
+        float(f_long(params))
         t_long = time.time() - t0
         step = min(step, (t_long - t_short) / 16)
     log(f"[{name}] device step ({rows},{t}): {step * 1e3:.2f} ms "
