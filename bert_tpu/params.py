@@ -284,7 +284,7 @@ def params_to_int8(params: Dict[str, Dict[str, WeightLike]]
         else:
             dense_stack = np.asarray(w, np.float32)
         layers[key] = quantize_w8(dense_stack)
-    return {"embeddings": emb, "layers": layers}
+    return {"embeddings": params["embeddings"], "layers": layers}
 
 
 def random_named_tensors(

@@ -57,14 +57,44 @@ def _round_away(x: np.ndarray) -> np.ndarray:
     quantizer uses (models/quantize.cpp via ggml). np.rint rounds half to
     EVEN, which diverges on exact ties (e.g. 2.5 → rint 2, roundf 3).
 
-    The +0.5-and-floor must run in float64: in f32, |x| + 0.5 for
-    x = 0.5 − 2⁻²⁵ lands exactly on 1.0 (the f32 tie rounds UP across the
-    binade boundary) so the f32 formula returns 1 where roundf returns 0.
-    Every f32 magnitude is exact in f64 and the f64 sum of |x| + 0.5 is
-    exact for |x| < 2²⁵, so the widened formula equals roundf bit-for-bit
-    (fuzz-pinned against libm in tests/test_quant.py; review r4)."""
-    xd = np.abs(x).astype(np.float64)
-    return (np.sign(x) * np.floor(xd + 0.5)).astype(np.float32)
+    Computed entirely in f32: ``rint`` is exact (no ``|x| + 0.5`` sum, so
+    no binade-boundary trap where 0.5 − 2⁻²⁵ + 0.5 ties up to 1.0), and it
+    differs from roundf only on EXACT .5 fractions — detectable exactly
+    because ``x − trunc(x)`` is exact in f32 wherever a fractional part
+    exists (|x| < 2²⁴; above that every f32 is an integer and the
+    correction is a no-op). Ties get ``trunc(x) ± 1``. Bit-equality with
+    libm roundf is fuzz-pinned in tests/test_quant.py. An earlier
+    f64-widened ``floor(|x| + 0.5)`` form was equally exact but ~2× the
+    memory traffic — on multi-MB embedding tables that dominated fixture
+    builds (review r4)."""
+    x = np.asarray(x, dtype=np.float32)
+    r = np.rint(x)
+    t = np.trunc(x)
+    frac = x - t
+    tie = np.abs(frac, out=frac) == np.float32(0.5)
+    return np.where(tie, t + np.sign(x), r)
+
+
+# Large tensors (the 30k-row word-embedding table) are codec'd in row
+# chunks: glibc always services allocations above its 32 MB threshold cap
+# with a fresh mmap, so each multi-MB numpy temporary would first-touch
+# page-fault its whole extent — measured ~12 s per 46 MB roundtrip on the
+# dev VM vs <1 s chunked. Chunking changes nothing numerically (every op
+# is per-block within a row); outputs are written into preallocated
+# arrays that fault exactly once.
+_CHUNK_BYTES = 4 << 20
+
+
+def _chunked_rows(fn, x, out_specs):
+    """Apply fn(rows) → tuple over row chunks of 2-D x, concatenating into
+    preallocated outputs shaped by out_specs: (dtype, cols) per output."""
+    n = x.shape[0]
+    outs = [np.empty((n, cols), dtype) for dtype, cols in out_specs]
+    step = max(1, _CHUNK_BYTES // max(1, x.shape[1] * x.itemsize))
+    for i in range(0, n, step):
+        for dst, part in zip(outs, fn(x[i:i + step])):
+            dst[i:i + step] = part
+    return tuple(outs)
 
 
 def q4_0_quantize(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -72,6 +102,11 @@ def q4_0_quantize(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     x = np.ascontiguousarray(x, dtype=np.float32)
     *lead, k = x.shape
     assert k % QK == 0, f"last dim {k} not a multiple of {QK}"
+    if x.ndim >= 2 and x.nbytes > _CHUNK_BYTES:
+        codes, scales = _chunked_rows(
+            q4_0_quantize, x.reshape(-1, k),
+            [(np.uint8, k), (np.float32, k // QK)])
+        return codes.reshape(*lead, k), scales.reshape(*lead, k // QK)
     blocks = x.reshape(*lead, k // QK, QK)
     amax = np.abs(blocks).max(axis=-1)
     d = amax / 7.0
@@ -83,6 +118,16 @@ def q4_0_quantize(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 
 def q4_0_dequantize(codes: np.ndarray, scales: np.ndarray) -> np.ndarray:
     *lead, k = codes.shape
+    if codes.ndim >= 2 and codes.nbytes * 4 > _CHUNK_BYTES:
+        flat_c = np.ascontiguousarray(codes).reshape(-1, k)
+        flat_s = np.ascontiguousarray(scales).reshape(-1, k // QK)
+        n = flat_c.shape[0]
+        out = np.empty((n, k), np.float32)
+        step = max(1, _CHUNK_BYTES // (k * 4))
+        for i in range(0, n, step):
+            out[i:i + step] = q4_0_dequantize(flat_c[i:i + step],
+                                              flat_s[i:i + step])
+        return out.reshape(*lead, k)
     blocks = codes.reshape(*lead, k // QK, QK).astype(np.float32) - 8.0
     return (blocks * scales[..., None]).reshape(*lead, k).astype(np.float32)
 
@@ -92,6 +137,12 @@ def q4_1_quantize(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     x = np.ascontiguousarray(x, dtype=np.float32)
     *lead, k = x.shape
     assert k % QK == 0, f"last dim {k} not a multiple of {QK}"
+    if x.ndim >= 2 and x.nbytes > _CHUNK_BYTES:
+        codes, scales, mins = _chunked_rows(
+            q4_1_quantize, x.reshape(-1, k),
+            [(np.uint8, k), (np.float32, k // QK), (np.float32, k // QK)])
+        return (codes.reshape(*lead, k), scales.reshape(*lead, k // QK),
+                mins.reshape(*lead, k // QK))
     blocks = x.reshape(*lead, k // QK, QK)
     mn = blocks.min(axis=-1)
     mx = blocks.max(axis=-1)
@@ -106,6 +157,17 @@ def q4_1_dequantize(
     codes: np.ndarray, scales: np.ndarray, mins: np.ndarray
 ) -> np.ndarray:
     *lead, k = codes.shape
+    if codes.ndim >= 2 and codes.nbytes * 4 > _CHUNK_BYTES:
+        flat_c = np.ascontiguousarray(codes).reshape(-1, k)
+        flat_s = np.ascontiguousarray(scales).reshape(-1, k // QK)
+        flat_m = np.ascontiguousarray(mins).reshape(-1, k // QK)
+        n = flat_c.shape[0]
+        out = np.empty((n, k), np.float32)
+        step = max(1, _CHUNK_BYTES // (k * 4))
+        for i in range(0, n, step):
+            out[i:i + step] = q4_1_dequantize(
+                flat_c[i:i + step], flat_s[i:i + step], flat_m[i:i + step])
+        return out.reshape(*lead, k)
     blocks = codes.reshape(*lead, k // QK, QK).astype(np.float32)
     out = blocks * scales[..., None] + mins[..., None]
     return out.reshape(*lead, k).astype(np.float32)
