@@ -43,6 +43,7 @@ Env knobs (all optional):
 """
 
 import json
+import math
 import os
 import signal
 import sys
@@ -127,7 +128,13 @@ def _load_lkg() -> dict:
     path = _lkg_path()
     try:
         with open(path) as f:
-            return json.load(f)
+            raw = json.load(f)
+        # drop rows a buggy/contended past run may have poisoned — a 0.0
+        # "last known good" is worse than falling through to the seed
+        return {k: v for k, v in raw.items()
+                if isinstance(v, dict)
+                and isinstance(v.get("value"), (int, float))
+                and math.isfinite(v["value"]) and v["value"] > 0}
     except (OSError, ValueError):
         pass
     seed = {}
@@ -166,7 +173,18 @@ def _store_lkg() -> None:
 
 
 def record_metric(name: str, value: float, unit: str = "sentences/s") -> None:
-    """Checkpoint a finished metric IMMEDIATELY (crash-safe)."""
+    """Checkpoint a finished metric IMMEDIATELY (crash-safe).
+
+    Non-finite or non-positive values are refused: a contended/degraded
+    measurement (e.g. the slope method returning a negative step when
+    another process holds the chip) must never overwrite a real LKG row
+    with 0.0 (observed r4: two concurrent benches → -94996/s recorded,
+    clamped to 0.0, clobbering the other run's 9149.5)."""
+    if not (isinstance(value, (int, float)) and math.isfinite(value)
+            and value > 0):
+        log(f"[checkpoint] REFUSED {name} = {value!r} (non-finite or <= 0)")
+        record_error(name, f"measurement produced invalid value {value!r}")
+        return
     with _LOCK:
         prev = _MEASURED.get(name, {}).get("value", 0.0)
         _MEASURED[name] = {
@@ -265,6 +283,48 @@ def install_guards() -> None:
             signal.signal(sig, _on_signal)
         except (ValueError, OSError):
             pass  # non-main thread / exotic platform
+
+
+_LOCK_FH = None  # module-held: the flock lives as long as the process
+
+
+def acquire_singleton_lock() -> bool:
+    """Exclusive advisory lock so two bench processes never share the chip.
+
+    Two concurrent benches time each other, not the hardware (observed r4:
+    interleaved runs produced a negative device-side slope and clobbered
+    each other's LKG rows). Blocks (bounded by the wall budget, polled so
+    the watchdog stays authoritative) until the other instance exits; the
+    kernel drops the flock even on SIGKILL, so a dead holder can't wedge
+    us. Returns False only if the budget ran out first — the watchdog will
+    emit the LKG snapshot, which is exactly right when another bench owns
+    the chip for our whole window."""
+    global _LOCK_FH
+    import fcntl
+
+    path = _lkg_path() + ".lock"
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        _LOCK_FH = open(path, "w")
+    except OSError as exc:
+        log(f"singleton lock unavailable ({exc!r}) — proceeding unlocked")
+        return True
+    waited = False
+    while True:
+        try:
+            fcntl.flock(_LOCK_FH, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            if waited:
+                log("singleton lock acquired after wait")
+            return True
+        except OSError:
+            if not waited:
+                log("another bench.py instance holds the chip lock — "
+                    "waiting for it to exit")
+                waited = True
+            if remaining_s() < WATCHDOG_MARGIN_S * 2:
+                log("wall budget exhausted waiting for the chip lock")
+                return False
+            time.sleep(2.0)
 
 
 # ---------------------------------------------------------------------------
@@ -383,15 +443,29 @@ def measure_device_side(name: str, rows: int = 512, t: int = 16) -> float:
 
     f_short, f_long = chain(8), chain(24)
     float(f_short(params)), float(f_long(params))  # compile + warm
+    # Keep only positive slope samples: under host contention the long
+    # chain can land in a faster window than the short one, producing a
+    # NEGATIVE Δt (observed r4, two concurrent processes → -1.35 ms/step).
+    # A couple of extra passes recover a usable sample; if every pass is
+    # inverted the measurement is meaningless — raise so the caller
+    # records an error instead of a garbage metric.
     step = float("inf")
-    for _ in range(3):
+    for attempt in range(6):
         t0 = time.time()
         float(f_short(params))
         t_short = time.time() - t0
         t0 = time.time()
         float(f_long(params))
         t_long = time.time() - t0
-        step = min(step, (t_long - t_short) / 16)
+        sample = (t_long - t_short) / 16
+        if sample > 0:
+            step = min(step, sample)
+        if attempt >= 2 and math.isfinite(step):
+            break
+    if not math.isfinite(step):
+        raise RuntimeError(
+            f"device-side slope inverted on every pass for {name} "
+            "(host contention / degraded tunnel) — no valid sample")
     log(f"[{name}] device step ({rows},{t}): {step * 1e3:.2f} ms "
         f"→ {rows / step:.0f} sentences/s device-side")
     return rows / step
@@ -458,6 +532,9 @@ def main() -> None:
 
     logging.disable(logging.WARNING)  # silence per-token unknown warnings
     install_guards()
+    if not acquire_singleton_lock():
+        emit_snapshot("budget spent waiting for another bench instance")
+        return
 
     # pre-flight: don't start a bench inside a tunnel degradation window
     # (r2's L6 warmup took 1004s in one) — bounded AND budget-clamped

@@ -101,6 +101,68 @@ def test_snapshot_rows_fresh_vs_stale(bench_mod, capsys):
     assert names == b.EXTRA_ORDER  # full sweep always present
 
 
+def test_record_metric_refuses_invalid_values(bench_mod):
+    """A contended/degraded measurement (negative slope, NaN) must never
+    land in the LKG — observed r4: two concurrent benches produced
+    -94996/s which the old max(value, prev) clamped to 0.0, clobbering the
+    other run's real row."""
+    b = bench_mod
+    m = "device_side_sentences_per_sec_bge_large_q4_0"
+    for bad in (-94996.2, 0.0, float("nan"), float("inf"), -1):
+        b.record_metric(m, bad)
+    assert m not in b._MEASURED
+    assert "invalid value" in b._ERRORS[m]
+    # on disk: nothing fresh was stored for the metric
+    if os.path.exists(os.environ["BENCH_LKG_PATH"]):
+        with open(os.environ["BENCH_LKG_PATH"]) as f:
+            assert m not in json.load(f)
+    # a real value still lands (and clears the error)
+    b.record_metric(m, 9149.5)
+    assert b._MEASURED[m]["value"] == 9149.5
+    assert m not in b._ERRORS
+    # and a later invalid value cannot degrade it
+    b.record_metric(m, -5.0)
+    assert b._MEASURED[m]["value"] == 9149.5
+
+
+def test_lkg_loader_drops_poisoned_rows(tmp_path, monkeypatch):
+    """Rows a past buggy/contended run wrote with value<=0 (or garbage
+    shapes) are filtered at load so they can never backfill a snapshot."""
+    lkg = tmp_path / "lkg.json"
+    lkg.write_text(json.dumps({
+        "good": {"value": 123.0, "unit": "sentences/s"},
+        "zero": {"value": 0.0, "unit": "sentences/s"},
+        "neg": {"value": -94996.2, "unit": "sentences/s"},
+        "shape": ["not", "a", "row"],
+    }))
+    monkeypatch.setenv("BENCH_LKG_PATH", str(lkg))
+    sys.path.insert(0, REPO)
+    import bench
+
+    mod = importlib.reload(bench)
+    assert set(mod._LKG) == {"good"}
+    importlib.reload(bench)
+
+
+def test_singleton_lock_excludes_second_instance(bench_mod, tmp_path):
+    """Two bench processes must never time each other instead of the chip:
+    while another holder owns the flock, acquire waits and gives up (False)
+    when the wall budget runs out; once released it acquires (True)."""
+    import fcntl
+
+    b = bench_mod
+    holder = open(b._lkg_path() + ".lock", "w")
+    fcntl.flock(holder, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    # budget nearly spent → the waiter must bail out quickly with False
+    b.BUDGET_S = (time.time() - b.T_START) + b.WATCHDOG_MARGIN_S
+    assert b.acquire_singleton_lock() is False
+    # holder exits → a fresh attempt (with budget) acquires immediately
+    fcntl.flock(holder, fcntl.LOCK_UN)
+    holder.close()
+    b.BUDGET_S = 10_000.0
+    assert b.acquire_singleton_lock() is True
+
+
 def test_lkg_seed_handles_missing_record(tmp_path, monkeypatch):
     """No LKG cache and no readable BENCH_r02.json → zero-value rows with
     an honest error, never a crash."""
