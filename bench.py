@@ -119,24 +119,9 @@ def _lkg_path() -> str:
     return os.path.join(base, "bench_lkg.json")
 
 
-def _load_lkg() -> dict:
-    """Last-known-good metrics measured on THIS box by a previous run.
-
-    Seeded from the committed BENCH_r02.json (the last driver-captured run)
-    if the cache doesn't exist yet, so even a first run inside a dead
-    tunnel window reports traceable numbers rather than nothing."""
-    path = _lkg_path()
-    try:
-        with open(path) as f:
-            raw = json.load(f)
-        # drop rows a buggy/contended past run may have poisoned — a 0.0
-        # "last known good" is worse than falling through to the seed
-        return {k: v for k, v in raw.items()
-                if isinstance(v, dict)
-                and isinstance(v.get("value"), (int, float))
-                and math.isfinite(v["value"]) and v["value"] > 0}
-    except (OSError, ValueError):
-        pass
+def _seed_lkg() -> dict:
+    """Traceable seed rows from the committed BENCH_r02.json (the last
+    driver-captured run) — the floor every LKG load falls back to."""
     seed = {}
     try:
         rec_path = os.path.join(
@@ -155,6 +140,28 @@ def _load_lkg() -> dict:
     return seed
 
 
+def _load_lkg() -> dict:
+    """Last-known-good metrics measured on THIS box by a previous run.
+
+    Starts from the BENCH_r02.json seed and overlays valid on-disk rows,
+    so poisoned rows (0.0 / non-finite) fall back to traceable seeded
+    values instead of vanishing (ADVICE r4: a fully poisoned cache used
+    to return {} — strictly worse than the pre-cache first-run path)."""
+    merged = _seed_lkg()
+    try:
+        with open(_lkg_path()) as f:
+            raw = json.load(f)
+        # drop rows a buggy/contended past run may have poisoned — a 0.0
+        # "last known good" is worse than falling through to the seed
+        merged.update({k: v for k, v in raw.items()
+                       if isinstance(v, dict)
+                       and isinstance(v.get("value"), (int, float))
+                       and math.isfinite(v["value"]) and v["value"] > 0})
+    except (OSError, ValueError):
+        pass
+    return merged
+
+
 _LKG = _load_lkg()
 
 
@@ -163,7 +170,14 @@ def _store_lkg() -> None:
     try:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = f"{path}.tmp.{os.getpid()}"
+        # Re-read the on-disk file at store time: _LKG is an import-time
+        # snapshot, and another bench may have checkpointed fresh rows
+        # while we waited on the singleton lock (ADVICE r4 medium — the
+        # stale snapshot used to clobber those rows for every metric this
+        # run hadn't measured yet). Disk wins over the snapshot; our own
+        # fresh measurements win over everything.
         merged = dict(_LKG)
+        merged.update(_load_lkg())
         merged.update(_MEASURED)  # rows carry their own measured_at stamp
         with open(tmp, "w") as f:
             json.dump(merged, f, indent=1)
@@ -180,8 +194,15 @@ def record_metric(name: str, value: float, unit: str = "sentences/s") -> None:
     another process holds the chip) must never overwrite a real LKG row
     with 0.0 (observed r4: two concurrent benches → -94996/s recorded,
     clamped to 0.0, clobbering the other run's 9149.5)."""
-    if not (isinstance(value, (int, float)) and math.isfinite(value)
-            and value > 0):
+    try:
+        # coerce first: np.float32 is not a `float` subclass (unlike
+        # np.float64), and a silent drop here would lose a real metric
+        value = float(value)
+    except (TypeError, ValueError):
+        log(f"[checkpoint] REFUSED {name} = {value!r} (not coercible)")
+        record_error(name, f"measurement produced invalid value {value!r}")
+        return
+    if not (math.isfinite(value) and value > 0):
         log(f"[checkpoint] REFUSED {name} = {value!r} (non-finite or <= 0)")
         record_error(name, f"measurement produced invalid value {value!r}")
         return
@@ -309,14 +330,28 @@ def acquire_singleton_lock() -> bool:
     except OSError as exc:
         log(f"singleton lock unavailable ({exc!r}) — proceeding unlocked")
         return True
+    import errno
+
     waited = False
     while True:
         try:
             fcntl.flock(_LOCK_FH, fcntl.LOCK_EX | fcntl.LOCK_NB)
             if waited:
                 log("singleton lock acquired after wait")
+                # the other instance checkpointed rows while we waited —
+                # pick them up so our first _store_lkg can't clobber them
+                # with the stale import-time snapshot (ADVICE r4 medium)
+                _LKG.update(_load_lkg())
             return True
-        except OSError:
+        except OSError as exc:
+            if exc.errno not in (errno.EWOULDBLOCK, errno.EAGAIN,
+                                 errno.EACCES):
+                # not contention (e.g. ENOLCK on NFS, EBADF): waiting
+                # can never succeed — proceed unlocked, matching the
+                # open() failure path above
+                log(f"singleton flock failed ({exc!r}) — "
+                    "proceeding unlocked")
+                return True
             if not waited:
                 log("another bench.py instance holds the chip lock — "
                     "waiting for it to exit")

@@ -133,7 +133,8 @@ def main() -> None:
 
     import jax
 
-    out_dir = result_dir(args.model, args.mode, pooling=args.pooling)
+    out_dir = result_dir(args.model, args.mode, pooling=args.pooling,
+                         backend=jax.default_backend())
     payload = {
         "test": {"main_score": acc, "accuracy": acc,
                  "evaluation_time": round(dt, 2)},

@@ -184,10 +184,18 @@ def make_engine(model_path: str, mode: str, *, max_batch: int = 1024,
     return BertTPU.from_file(model_path, **kw)
 
 
-def result_dir(model_path: str, mode: str, pooling: str = "mean") -> str:
+def result_dir(model_path: str, mode: str, pooling: str = "mean",
+               backend: str = "cpu") -> str:
+    """Results are keyed by (model, pooling, BACKEND, mode) so a TPU run
+    lands alongside the CPU tier instead of overwriting it (VERDICT r4 #1:
+    both numerics regimes must stay committed side by side). CPU keeps the
+    historical un-tagged names; any other backend is tagged on the model
+    part (``fixture-minilm-l6@tpu_q4_0``) so print_tables.py's
+    ``<model>_<mode>`` split still parses and groups per backend."""
     name = os.path.basename(os.path.normpath(model_path))
     suffix = "" if pooling == "mean" else f"-{pooling}"
-    out = os.path.join(RESULTS_DIR, f"{name}{suffix}_{mode}")
+    tag = "" if backend == "cpu" else f"@{backend}"
+    out = os.path.join(RESULTS_DIR, f"{name}{suffix}{tag}_{mode}")
     os.makedirs(out, exist_ok=True)
     return out
 

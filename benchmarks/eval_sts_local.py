@@ -101,11 +101,12 @@ def main() -> None:
     print(f"{len(s1)} pairs: cosine-Spearman {rho:.5f}, "
           f"eval {dt:.2f}s ({n_sent / dt:.0f} sentences/s)")
 
-    out_dir = result_dir(args.model, args.mode, pooling=args.pooling)
-    task = ("STSLocalEn"
-            if os.path.basename(args.pairs) == "sts_en.tsv" else "STSLocal")
     import jax
 
+    out_dir = result_dir(args.model, args.mode, pooling=args.pooling,
+                         backend=jax.default_backend())
+    task = ("STSLocalEn"
+            if os.path.basename(args.pairs) == "sts_en.tsv" else "STSLocal")
     payload = {
         "test": {"cos_sim": {"spearman": rho},
                  "evaluation_time": round(dt, 2)},

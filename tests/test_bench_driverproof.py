@@ -127,11 +127,15 @@ def test_record_metric_refuses_invalid_values(bench_mod):
 
 def test_lkg_loader_drops_poisoned_rows(tmp_path, monkeypatch):
     """Rows a past buggy/contended run wrote with value<=0 (or garbage
-    shapes) are filtered at load so they can never backfill a snapshot."""
+    shapes) are filtered at load AND backfilled from the BENCH_r02.json
+    seed (ADVICE r4: a fully poisoned cache must degrade to traceable
+    seeded values, not to an empty dict / 0.0 snapshot rows)."""
     lkg = tmp_path / "lkg.json"
     lkg.write_text(json.dumps({
         "good": {"value": 123.0, "unit": "sentences/s"},
-        "zero": {"value": 0.0, "unit": "sentences/s"},
+        # poison the HEADLINE metric too: it must come back from the seed
+        "sentences_per_sec_minilm_l6_q4_0":
+            {"value": 0.0, "unit": "sentences/s"},
         "neg": {"value": -94996.2, "unit": "sentences/s"},
         "shape": ["not", "a", "row"],
     }))
@@ -140,7 +144,13 @@ def test_lkg_loader_drops_poisoned_rows(tmp_path, monkeypatch):
     import bench
 
     mod = importlib.reload(bench)
-    assert set(mod._LKG) == {"good"}
+    # valid on-disk rows survive; poisoned/garbage rows are gone
+    assert mod._LKG["good"]["value"] == 123.0
+    assert "neg" not in mod._LKG and "shape" not in mod._LKG
+    # the poisoned headline row fell back to the seed, not 0.0
+    head = mod._LKG[mod.HEADLINE_METRIC]
+    assert head["value"] > 0
+    assert "BENCH_r02" in head["measured_at"]
     importlib.reload(bench)
 
 
