@@ -85,10 +85,18 @@ BASELINE_BY_METRIC = {
     "streaming_sentences_per_sec_minilm_l6_q4_0": BASELINE_SENTENCES_PER_SEC,
     "device_side_sentences_per_sec_minilm_l6_q4_0":
         BASELINE_SENTENCES_PER_SEC,
+    "device_side_sentences_per_sec_minilm_l12_q4_0": BASELINE_L12,
+    "device_side_sentences_per_sec_bert_base_q4_0": BASELINE_BASE,
     "device_side_sentences_per_sec_bge_large_q4_0": BASELINE_BGE_LARGE,
 }
 # emission order for extra_metrics (headline excluded)
 EXTRA_ORDER = [m for m in BASELINE_BY_METRIC if m != HEADLINE_METRIC]
+
+# rows-per-batch used by the device-side slope measurement per family —
+# shared with benchmarks/render_headline.py, which derives the per-batch
+# device step (rows / sentences-per-sec) for the PERF.md model table
+DEVICE_ROWS = {"minilm_l6": 512, "minilm_l12": 512,
+               "bert_base": 512, "bge_large": 128}
 
 
 def log(*a):
@@ -659,8 +667,10 @@ def main() -> None:
     # (docs/PERF.md). bge-large per VERDICT r2 #5 / r3 #6 (smaller row
     # block: 24 layers x D=1024 at 512 rows would make a scan step ~9s).
     if _stage_enabled("device"):
-        for name, rows, est in (("minilm_l6", 512, 60),
-                                ("bge_large", 128, 240)):
+        # all four families so docs/PERF.md's model table is generated
+        # end-to-end from this file's metrics (VERDICT r4 #2)
+        for (name, rows), est in zip(DEVICE_ROWS.items(),
+                                     (60, 90, 120, 240)):
             m = f"device_side_sentences_per_sec_{name}_q4_0"
             if remaining_s() < est:
                 log(f"device-side {name} skipped (budget)")
