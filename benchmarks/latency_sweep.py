@@ -52,7 +52,12 @@ def run_soak(host, port, clients, batch_clients, seconds):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("-m", "--model", required=True)
-    ap.add_argument("--windows", type=float, nargs="+", default=[0.5, 2, 8])
+    ap.add_argument("--windows", nargs="+",
+                    type=lambda s: s if s == "adaptive" else float(s),
+                    default=[0.5, 2, 8, "adaptive"],
+                    help="fixed windows in ms and/or 'adaptive' "
+                    "(work-conserving continuous batching, the server "
+                    "default)")
     ap.add_argument("--seconds", type=int, default=45)
     ap.add_argument("--port", type=int, default=18086)
     ap.add_argument("--max-batch", type=int, default=64)

@@ -12,10 +12,15 @@ unchanged):
 Where the reference accepts ONE client at a time and evaluates one
 sentence per graph build (server.cpp:92 listen backlog 1; SURVEY.md §3.4),
 this server is asyncio-concurrent: every connection feeds a shared queue,
-and a micro-batching scheduler drains it — collecting whatever requests
-arrive within ``batch_window_ms`` (or up to ``max_batch``) and running them
-as ONE padded bucket batch on the TPU. Under load, batch size grows
-automatically and throughput approaches the offline bucketed rate.
+and a micro-batching scheduler drains it into padded bucket batches on
+the TPU. The default window policy is **adaptive** (work-conserving
+continuous batching): a request dispatches immediately when a device slot
+is free, and while all slots are busy — when waiting costs nothing — the
+forming batch absorbs every queued arrival (up to ``max_batch``), so
+batch size tracks the arrival rate during one device step. Pass a numeric
+``batch_window_ms`` for the classic fixed collection window. Under load,
+batch size grows automatically and throughput approaches the offline
+bucketed rate.
 """
 
 from __future__ import annotations
@@ -68,11 +73,24 @@ class BatchingScheduler:
     """Collects (text, future) requests and evaluates them in micro-batches."""
 
     def __init__(self, model, *, max_batch: int = 64,
-                 batch_window_ms: float = 2.0, pipeline_depth: int = 1,
+                 batch_window_ms: Union[float, str] = "adaptive",
+                 pipeline_depth: int = 1,
                  queue_depth: Optional[int] = None):
         self.model = model
         self.max_batch = max_batch
-        self.batch_window = batch_window_ms / 1000.0
+        # "adaptive" (the default) = work-conserving continuous batching:
+        # dispatch the moment a device slot is free (zero added latency at
+        # low load), and while every slot is busy — when waiting costs
+        # nothing — keep absorbing queued requests into the forming batch,
+        # so batch size automatically tracks the arrival rate during one
+        # device step. The r4 latency sweep showed any FIXED window is
+        # wrong on one deployment class (8 ms won both axes on the
+        # high-fixed-cost tunnel link, 0.5 ms won p50 on a CPU host); the
+        # adaptive policy needs no per-deployment tuning. An explicit
+        # numeric batch_window_ms keeps the classic fixed-window behavior.
+        self.adaptive = batch_window_ms == "adaptive"
+        self.batch_window = (0.0 if self.adaptive
+                             else float(batch_window_ms) / 1000.0)
         # bounded queue = backpressure: when ~128 micro-batches of work are
         # already pending, submit() suspends its connection handler instead
         # of buffering unboundedly (a flood of framed BATCH messages would
@@ -181,6 +199,16 @@ class BatchingScheduler:
     async def _collect(self) -> List[Tuple[str, asyncio.Future]]:
         first = await self.queue.get()
         batch = [first]
+        if self.adaptive:
+            # take whatever is already queued, then dispatch immediately —
+            # the real batching happens in _run's top-up while this batch
+            # waits (for free) on a busy device slot
+            while len(batch) < self.max_batch:
+                try:
+                    batch.append(self.queue.get_nowait())
+                except asyncio.QueueEmpty:
+                    break
+            return batch
         deadline = time.monotonic() + self.batch_window
         while len(batch) < self.max_batch:
             timeout = deadline - time.monotonic()
@@ -247,6 +275,15 @@ class BatchingScheduler:
         while True:
             batch = await self._collect()
             await sem.acquire()
+            if self.adaptive:
+                # everything that queued while this batch waited for the
+                # device slot rides along — batching that cost zero added
+                # latency (the wait was forced either way)
+                while len(batch) < self.max_batch:
+                    try:
+                        batch.append(self.queue.get_nowait())
+                    except asyncio.QueueEmpty:
+                        break
             task = loop.create_task(self._eval_one_batch(batch, sem))
             self._inflight.add(task)
             task.add_done_callback(self._inflight.discard)
@@ -254,7 +291,8 @@ class BatchingScheduler:
 
 class EmbeddingServer:
     def __init__(self, model, host: str = "0.0.0.0", port: int = 8085,
-                 *, max_batch: int = 64, batch_window_ms: float = 2.0,
+                 *, max_batch: int = 64,
+                 batch_window_ms: Union[float, str] = "adaptive",
                  pipeline_depth: int = 1, queue_depth: Optional[int] = None):
         self.model = model
         self.host = host
@@ -474,8 +512,11 @@ def main(argv=None) -> None:
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--max-batch", type=int, default=64,
                     help="micro-batch cap per TPU step")
-    ap.add_argument("--batch-window-ms", type=float, default=2.0,
-                    help="how long to wait for more requests before running")
+    ap.add_argument("--batch-window-ms", default="adaptive",
+                    type=lambda s: s if s == "adaptive" else float(s),
+                    help="'adaptive' (default): dispatch immediately when "
+                    "a device slot is free and absorb arrivals while it "
+                    "is busy; or a fixed wait in ms before running")
     ap.add_argument("--pipeline-depth", type=int, default=1,
                     help="micro-batches allowed in flight concurrently "
                     "(>1 overlaps batches on compute-bound hosts)")

@@ -496,3 +496,81 @@ def test_stop_fails_queued_uncollected_requests(model):
             await asyncio.wait_for(sub, timeout=5)
 
     asyncio.run(go())
+
+
+class _SlowEvalModel:
+    """Delegates to the real engine but holds each eval for `delay`
+    seconds — makes 'device busy' deterministic for scheduler tests."""
+
+    def __init__(self, inner, delay: float):
+        self._inner = inner
+        self.delay = delay
+        self.tokenizer = inner.tokenizer
+        self.n_max_tokens = inner.n_max_tokens
+
+    def eval_tokens(self, toks):
+        import time as _time
+
+        _time.sleep(self.delay)
+        return self._inner.eval_tokens(toks)
+
+
+def test_adaptive_window_is_the_default(model):
+    """VERDICT r4 #6: no fixed window default — 'adaptive' means zero
+    collection wait, and a numeric value restores fixed-window mode."""
+    from bert_tpu.server import BatchingScheduler
+
+    sched = BatchingScheduler(model, max_batch=4)
+    assert sched.adaptive and sched.batch_window == 0.0
+    fixed = BatchingScheduler(model, max_batch=4, batch_window_ms=8.0)
+    assert not fixed.adaptive and fixed.batch_window == 8e-3
+
+
+def test_adaptive_immediate_dispatch_when_idle(model):
+    """A lone request on an idle device must dispatch as a batch of 1
+    without waiting out any window (the low-load p50 axis)."""
+    from bert_tpu.server import BatchingScheduler
+
+    async def go():
+        sched = BatchingScheduler(model, max_batch=8)
+        sched.start()
+        try:
+            t0 = asyncio.get_running_loop().time()
+            out = await sched.submit("the store")
+            dt = asyncio.get_running_loop().time() - t0
+            return out, dt, sched.n_batches
+        finally:
+            await sched.stop()
+
+    out, dt, n_batches = asyncio.run(go())
+    assert out.shape == (CFG.n_embd,)
+    assert n_batches == 1
+
+
+def test_adaptive_coalesces_arrivals_while_device_busy(model):
+    """While an eval is in flight, queued arrivals must ride the NEXT
+    batch together (work-conserving continuous batching): 1 + 5 requests
+    → exactly 2 batches, never 6."""
+    from bert_tpu.server import BatchingScheduler
+
+    slow = _SlowEvalModel(model, delay=0.4)
+
+    async def go():
+        sched = BatchingScheduler(slow, max_batch=8)
+        sched.start()
+        try:
+            first = asyncio.get_running_loop().create_task(
+                sched.submit("the store"))
+            await asyncio.sleep(0.15)  # first batch now holds the device
+            rest = [asyncio.get_running_loop().create_task(
+                sched.submit(f"go to the store {i}")) for i in range(5)]
+            outs = await asyncio.gather(first, *rest)
+            return outs, sched.n_batches, sched.n_served
+        finally:
+            await sched.stop()
+
+    outs, n_batches, n_served = asyncio.run(go())
+    assert len(outs) == 6 and n_served == 6
+    assert n_batches == 2, f"expected 1+5 coalescing, got {n_batches}"
+    ref = model.encode("the store")
+    np.testing.assert_allclose(outs[0], ref, atol=1e-5)
