@@ -42,8 +42,32 @@ enable_compilation_cache()
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "tpu: needs a real TPU chip (run with BERT_TPU_REAL_TPU=1)")
+    config.addinivalue_line(
+        "markers", "smoke: fast end-to-end gate (<60 s cold): tokenizer "
+        "goldens + quant round-trip + one forward — `pytest -m smoke`")
     if not _REAL_TPU:
         assert jax.default_backend() == "cpu", (
             "tests must run on the virtual-CPU backend, got "
             + jax.default_backend()
         )
+
+
+# The cheap always-run gate (VERDICT r4 #8): a cold full suite can exceed
+# 9.5 min on this box (first-touch page faults), so drivers need a <60 s
+# smoke set. Selection lives here (not as per-file marks) so the set stays
+# auditable in one place. None = every test in the file.
+_SMOKE = {
+    "test_tokenizer.py": None,                  # reference goldens, no jax
+    "test_quant.py": {"test_q4_0_roundtrip_error", "test_q4_1_roundtrip_error",
+                      "test_ggml_stream_roundtrip"},
+    "test_model.py": {"test_output_shape_and_norm"},  # one jitted forward
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        names = _SMOKE.get(os.path.basename(str(item.fspath)), False)
+        if names is None or (names and item.originalname in names):
+            item.add_marker(pytest.mark.smoke)
