@@ -158,12 +158,25 @@ class BertTPU:
             check_tp_divisibility(self.config, self._tp, quantized=quantized)
 
         # one host→device transfer at init; jit calls then hit by reference
+        import time as _time
+
+        from .loader import LAST_LOAD_PHASES
+
+        _t0 = _time.perf_counter()
         if mesh is not None:
             from .parallel.spmd import shard_params as _shard_params
 
             self.params = _shard_params(mesh, loaded.params)
         else:
             self.params = jax.device_put(loaded.params)
+        jax.block_until_ready(self.params)
+        # consume the loader's per-phase breakdown (module-global, cleared
+        # here so an engine built directly from a LoadedModel can never
+        # report a PREVIOUS load's parse/repack numbers)
+        self.load_phases = dict(LAST_LOAD_PHASES)
+        LAST_LOAD_PHASES.clear()
+        self.load_phases["device_put"] = round(
+            _time.perf_counter() - _t0, 3)
         if self._int8:
             from .params import params_to_int8
 
@@ -495,8 +508,12 @@ class BertTPU:
 
     def stats(self) -> dict:
         """Host-side phase timings + bucket execution counts
-        (bert_tpu.profiling.PhaseTimers)."""
-        return self.timers.summary()
+        (bert_tpu.profiling.PhaseTimers), plus the load-phase breakdown
+        (parse / emb_dequant / repack / quantize / device_put, seconds —
+        VERDICT r4 #5)."""
+        out = self.timers.summary()
+        out["load_phases"] = dict(getattr(self, "load_phases", {}))
+        return out
 
     def encode(self, text: str) -> np.ndarray:
         """Single-sentence convenience (bert_encode, bert.cpp:943-950)."""

@@ -35,10 +35,16 @@ from .quant import (
     GGML_FTYPE_Q4_0,
     GGML_FTYPE_Q4_1,
     QuantTensor,
-    repack_codes_tpu,
+    concat_quant_n,
     stack_quant,
 )
 from .vocab import Vocab
+
+# Per-phase wall times of the most recent load on this process, seconds
+# (VERDICT r4 #5: bge-large paid ~33 s to first embedding with no
+# breakdown). Keys: parse, emb_dequant, repack, quantize, device_put (the
+# engine adds the last one). Read via BertTPU.stats()["load_phases"].
+LAST_LOAD_PHASES: Dict[str, float] = {}
 
 
 @dataclass
@@ -74,10 +80,15 @@ def params_from_ggml(mf: GgmlModelFile) -> Tuple[BertConfig, Dict[str, Any]]:
                 f"{key}: per-layer ftypes differ across layers "
                 f"({sorted(ftypes)}) — mixed-codec files are not supported")
 
+    import time
+
+    t0 = time.perf_counter()
     emb = {}
     for key, name in _EMB_WEIGHTS.items():
         emb[key] = mf.tensors[name].to_f32()
+    LAST_LOAD_PHASES["emb_dequant"] = round(time.perf_counter() - t0, 3)
 
+    t0 = time.perf_counter()
     h, dh = config.n_head, config.d_head
 
     def qkv_row_order() -> np.ndarray:
@@ -106,11 +117,12 @@ def params_from_ggml(mf: GgmlModelFile) -> Tuple[BertConfig, Dict[str, Any]]:
                  for k in ("q", "k", "v")]
         b_list.append(fuse_qkv_bias(*[r.to_f32() for r in brecs], h))
         if recs[0].ftype in (GGML_FTYPE_Q4_0, GGML_FTYPE_Q4_1):
-            codes = np.concatenate([r.codes for r in recs], axis=0)[order]
-            scales = np.concatenate([r.scales for r in recs], axis=0)[order]
-            mins = (np.concatenate([r.mins for r in recs], axis=0)[order]
-                    if recs[0].mins is not None else None)
-            qt_list.append(repack_codes_tpu(codes, scales, mins))
+            # fuse along N: the stored [q;k;v] ROW permutation becomes a
+            # COLUMN permutation of the TPU layout (N is the last axis) —
+            # same bits, but each tensor repacks at half size with no
+            # full-size [3D, D] codes intermediate (VERDICT r4 #5)
+            qt_list.append(concat_quant_n([r.to_quant_tpu() for r in recs],
+                                          col_order=order))
         else:
             w_list.append(fuse_qkv_weights(*[r.to_f32().T for r in recs], h))
     layers["qkv_w"] = stack_quant(qt_list) if qt_list else np.stack(w_list)
@@ -121,14 +133,15 @@ def params_from_ggml(mf: GgmlModelFile) -> Tuple[BertConfig, Dict[str, Any]]:
         if key in _MATMUL_KEYS and recs[0].ftype in (GGML_FTYPE_Q4_0,
                                                      GGML_FTYPE_Q4_1):
             # file stores [out, in] with q4 blocks along in (= ggml ne[0]);
-            # repack_codes_tpu transposes to logical W[in, out] bit-exactly.
-            qts = [repack_codes_tpu(r.codes, r.scales, r.mins) for r in recs]
-            layers[key] = stack_quant(qts)
+            # the fused stream repack transposes to logical W[in, out]
+            # bit-exactly without materializing full-size codes.
+            layers[key] = stack_quant([r.to_quant_tpu() for r in recs])
         elif key in _MATMUL_KEYS:
             layers[key] = np.stack([r.to_f32().T for r in recs])
         else:
             layers[key] = np.stack([r.to_f32() for r in recs])
 
+    LAST_LOAD_PHASES["repack"] = round(time.perf_counter() - t0, 3)
     return config, {"embeddings": emb, "layers": layers}
 
 
@@ -143,7 +156,12 @@ def load_ggml_model(path: str,
         # would lie in config/stats (review r4)
         raise ValueError(f"quantize-on-load supports q4_0/q4_1 only, "
                          f"got ftype {quantize_ftype}")
+    import time
+
+    LAST_LOAD_PHASES.clear()
+    t0 = time.perf_counter()
     mf = read_ggml(path)
+    LAST_LOAD_PHASES["parse"] = round(time.perf_counter() - t0, 3)
     stored_ftype = int(mf.hparams.ftype)
     if (quantize_ftype is not None
             and stored_ftype in (GGML_FTYPE_Q4_0, GGML_FTYPE_Q4_1)
@@ -159,9 +177,11 @@ def load_ggml_model(path: str,
             and config.ftype not in (GGML_FTYPE_Q4_0, GGML_FTYPE_Q4_1)):
         from .params import quantize_params
 
+        t0 = time.perf_counter()
         params = quantize_params(params, quantize_ftype)
         config = BertConfig(**{**config.__dict__,
                                "ftype": quantize_ftype})
+        LAST_LOAD_PHASES["quantize"] = round(time.perf_counter() - t0, 3)
     vocab = Vocab.from_tokens(mf.vocab_tokens)
     return LoadedModel(config=config, params=params, vocab=vocab)
 

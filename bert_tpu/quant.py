@@ -235,18 +235,21 @@ def q4_to_ggml_bytes(
 
 
 def q4_from_ggml_bytes(
-    raw: bytes, shape: Tuple[int, ...], ftype: int
+    raw, shape: Tuple[int, ...], ftype: int
 ) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
-    """ggml block stream → ([..., K] codes, scales, mins-or-None)."""
+    """ggml block stream (bytes or uint8 ndarray/memmap view) →
+    ([..., K] codes, scales, mins-or-None)."""
+    raw = (np.frombuffer(raw, dtype=np.uint8) if isinstance(raw, bytes)
+           else np.asarray(raw, dtype=np.uint8))
     *lead, k = shape
     nblocks = int(np.prod(lead, dtype=np.int64)) * (k // QK)
     if ftype == GGML_FTYPE_Q4_0:
-        rec = np.frombuffer(raw, dtype=np.uint8).reshape(nblocks, 20)
+        rec = raw.reshape(nblocks, 20)
         scales = rec[:, :4].copy().view(np.float32).reshape(*lead, k // QK)
         mins = None
         packed = rec[:, 4:]
     elif ftype == GGML_FTYPE_Q4_1:
-        rec = np.frombuffer(raw, dtype=np.uint8).reshape(nblocks, 24)
+        rec = raw.reshape(nblocks, 24)
         scales = rec[:, :4].copy().view(np.float32).reshape(*lead, k // QK)
         mins = rec[:, 4:8].copy().view(np.float32).reshape(*lead, k // QK)
         packed = rec[:, 8:]
@@ -376,6 +379,72 @@ def repack_codes_tpu(
         packed=packed,
         scales=np.ascontiguousarray(scales_nb.T),
         mins=None if mins_nb is None else np.ascontiguousarray(mins_nb.T),
+    )
+
+
+def repack_ggml_stream_tpu(qraw, shape: Tuple[int, int],
+                           ftype: int) -> QuantTensor:
+    """ggml block stream of a stored [N, K] q4 tensor → TPU-layout
+    QuantTensor for the logical W[K, N], in ONE fused pass (VERDICT r4 #5).
+
+    Bit-exact equal to ``repack_codes_tpu(*q4_from_ggml_bytes(...))`` but
+    never materializes the full-size [N, K] codes array: the unpack →
+    transpose → group-pack chain used to touch ~3.5× the packed bytes in
+    fresh allocations, which on this VM's lazily-restored memory made
+    bge-large's 210 MB file take ~20 s of first-touch page faults. Here
+    every temporary stays at packed (half) size.
+
+    Derivation: ggml block b of stored row n covers K columns
+    32b..32b+31 with pairwise nibbles (byte j = c[32b+2j] | c[32b+2j+1]<<4,
+    see _pack_nibbles_pairwise); the TPU layout's group g band packs
+    logical K-rows 64g+r (low nibble) and 64g+32+r (high) — i.e. block 2g
+    element r and block 2g+1 element r (pack_tpu_layout)."""
+    qraw = (np.frombuffer(qraw, dtype=np.uint8) if isinstance(qraw, bytes)
+            else np.asarray(qraw, dtype=np.uint8))
+    n, k = shape
+    if k % GROUP != 0:
+        raise ValueError(f"K={k} not a multiple of {GROUP}")
+    nblocks = n * (k // QK)
+    meta = 4 if ftype == GGML_FTYPE_Q4_0 else 8
+    rec = qraw.reshape(nblocks, meta + 16)
+    scales = np.ascontiguousarray(
+        rec[:, :4].copy().view(np.float32).reshape(n, k // QK).T)
+    mins = None
+    if ftype == GGML_FTYPE_Q4_1:
+        mins = np.ascontiguousarray(
+            rec[:, 4:8].copy().view(np.float32).reshape(n, k // QK).T)
+    elif ftype != GGML_FTYPE_Q4_0:
+        raise ValueError(f"not a q4 ftype: {ftype}")
+    # [n, K//64 group, 2 blocks, 16 packed bytes]
+    pg = rec[:, meta:].reshape(n, k // GROUP, 2, 16)
+    lo_half, hi_half = pg[:, :, 0, :], pg[:, :, 1, :]  # blocks 2g, 2g+1
+    band = np.empty((n, k // GROUP, QK), dtype=np.uint8)
+    # low nibble of the TPU byte = block-2g element r
+    band[..., 0::2] = lo_half & 0x0F
+    band[..., 1::2] = lo_half >> 4
+    hi = np.empty_like(band)  # high nibble = block-2g+1 element r
+    hi[..., 0::2] = hi_half & 0x0F
+    hi[..., 1::2] = hi_half >> 4
+    band |= hi << 4
+    packed = np.ascontiguousarray(band.reshape(n, k // 2).T)
+    return QuantTensor(packed=packed, scales=scales, mins=mins)
+
+
+def concat_quant_n(qts, col_order: Optional[np.ndarray] = None
+                   ) -> QuantTensor:
+    """Concatenate QuantTensors along the logical N (output) axis, with an
+    optional column permutation — the fused-QKV composition. N is the last
+    axis of every component (packed/scales/mins), so this is exact for
+    packed bytes (packing runs along K only)."""
+    def cat(parts):
+        out = np.concatenate(parts, axis=-1)
+        return out if col_order is None else np.take(out, col_order, axis=-1)
+
+    return QuantTensor(
+        packed=cat([q.packed for q in qts]),
+        scales=cat([q.scales for q in qts]),
+        mins=(cat([q.mins for q in qts])
+              if qts[0].mins is not None else None),
     )
 
 

@@ -129,3 +129,29 @@ def test_truncated_files_raise(tmp_path):
             continue  # raising is the preferred outcome
         assert len(mf.tensors) < len(full.tensors), (
             "truncated file parsed as complete")
+
+
+def test_mmap_and_stream_readers_agree(tmp_path):
+    """read_ggml's zero-copy mmap path (the default, VERDICT r4 #5) must
+    produce byte-identical tensors to the streaming fallback."""
+    from bert_tpu.formats.ggml_bin import read_ggml
+
+    path = str(tmp_path / "m.bin")
+    cfg = BertConfig(n_vocab=64, n_max_tokens=64, n_embd=64,
+                     n_intermediate=128, n_head=2, n_layer=1)
+    hp = GgmlHParams(cfg.n_vocab, cfg.n_max_tokens, cfg.n_embd,
+                     cfg.n_intermediate, cfg.n_head, cfg.n_layer, ftype=3)
+    toks = [f"t{i}" for i in range(cfg.n_vocab)]
+    write_ggml(path, hp, toks, random_named_tensors(cfg, 3))
+
+    a, b = read_ggml(path, mmap=True), read_ggml(path, mmap=False)
+    assert a.vocab_tokens == b.vocab_tokens
+    assert a.hparams == b.hparams
+    assert set(a.tensors) == set(b.tensors)
+    for name, ra in a.tensors.items():
+        rb = b.tensors[name]
+        assert (ra.shape, ra.ftype) == (rb.shape, rb.ftype)
+        np.testing.assert_array_equal(ra.to_f32(), rb.to_f32())
+        if ra.ftype in (2, 3):  # lazy q4 fields agree too
+            np.testing.assert_array_equal(ra.codes, rb.codes)
+            np.testing.assert_array_equal(ra.scales, rb.scales)
