@@ -399,32 +399,35 @@ class BertTPU:
 
     # -- streaming corpus-scale evaluation (VERDICT r2 #3) -------------------
     def eval_tokens_iter(self, token_lists: Sequence[Sequence[int]],
-                         window: int = 4096):
+                         window: int = 4096, depth: int = 2):
         """Embed an arbitrarily large pre-tokenized corpus with BOUNDED
         memory: yields [≤window, n_embd] f32 blocks in input order.
 
-        At most TWO windows are in flight — window i+1 is dispatched before
-        window i is gathered, so the TPU computes ahead while the host
-        materializes results (the same overlap :meth:`eval_tokens` gets
-        from async dispatch, without holding every device buffer and the
-        full [n, D] host array live at once). This is the corpus-indexing
-        workload the reference handles with an O(1)-memory per-sentence
-        loop (bert.cpp:1014-1020); here the window keeps throughput at the
-        bulk rate while bounding residency to O(window).
+        At most ``depth`` windows are in flight — windows i+1..i+depth-1
+        are dispatched before window i is gathered, so the TPU computes
+        (and its result transfers run) ahead while the host materializes
+        results. Residency is O(depth × window). depth=2 is the memory-
+        lean default; on links with a large fixed per-transfer cost (the
+        dev tunnel: ~40 ms/batch) deeper pipelines hide more transfer
+        latency — benchmarks/streaming_probe.py sweeps this. This is the
+        corpus-indexing workload the reference handles with an O(1)-memory
+        per-sentence loop (bert.cpp:1014-1020).
         """
+        from collections import deque
+
         n = len(token_lists)
         if window < 1:
             raise ValueError(f"window must be >= 1, got {window}")
-        starts = list(range(0, n, window))
-        prev = None  # (start, end, pending)
-        for s in starts:
+        if depth < 1:
+            raise ValueError(f"depth must be >= 1, got {depth}")
+        q: deque = deque()  # (start, end, pending)
+        for s in range(0, n, window):
             e = min(n, s + window)
-            pending = self._dispatch_all(token_lists[s:e])
-            if prev is not None:
-                yield self._materialize_window(prev)
-            prev = (s, e, pending)
-        if prev is not None:
-            yield self._materialize_window(prev)
+            q.append((s, e, self._dispatch_all(token_lists[s:e])))
+            if len(q) >= depth:
+                yield self._materialize_window(q.popleft())
+        while q:
+            yield self._materialize_window(q.popleft())
 
     def _materialize_window(self, item) -> np.ndarray:
         s, e, pending = item
@@ -433,25 +436,30 @@ class BertTPU:
         self.timers.add_sentences(e - s)
         return out
 
-    def encode_iter(self, texts: Sequence[str], window: int = 4096):
+    def encode_iter(self, texts: Sequence[str], window: int = 4096,
+                    depth: int = 2):
         """Streaming :meth:`encode_batch`: tokenize AND embed one window at
-        a time, yielding [≤window, n_embd] blocks in input order — O(window)
-        host memory for any corpus size."""
+        a time, yielding [≤window, n_embd] blocks in input order —
+        O(depth × window) host memory for any corpus size (see
+        :meth:`eval_tokens_iter` for the pipeline-depth trade)."""
+        from collections import deque
+
         n = len(texts)
         if window < 1:
             raise ValueError(f"window must be >= 1, got {window}")
-        prev = None
+        if depth < 1:
+            raise ValueError(f"depth must be >= 1, got {depth}")
+        q: deque = deque()
         for s in range(0, n, window):
             e = min(n, s + window)
             with self.timers.phase("tokenize"):
                 toks = self.tokenizer.tokenize_batch(
                     texts[s:e], self.config.n_max_tokens)
-            pending = self._dispatch_all(toks)
-            if prev is not None:
-                yield self._materialize_window(prev)
-            prev = (s, e, pending)
-        if prev is not None:
-            yield self._materialize_window(prev)
+            q.append((s, e, self._dispatch_all(toks)))
+            if len(q) >= depth:
+                yield self._materialize_window(q.popleft())
+        while q:
+            yield self._materialize_window(q.popleft())
 
     def _dispatch_packed(self, token_lists, idxs, plan=None):
         """Pack short sentences into fixed (rows, pack_seq) batches and

@@ -98,3 +98,27 @@ def test_streaming_single_window_and_empty(eng, corpus):
     assert len(blocks) == 1 and blocks[0].shape == (5, CFG.n_embd)
     with pytest.raises(ValueError):
         next(eng.eval_tokens_iter(toks, window=0))
+
+
+@pytest.mark.parametrize("depth", [1, 3, 4])
+def test_pipeline_depth_matches_default(eng, corpus, depth):
+    """Any pipeline depth (VERDICT r4 #3: deeper pipelines hide the
+    tunnel's fixed per-transfer cost) must yield the exact same blocks in
+    the same order as the default depth-2 pipeline."""
+    texts, toks = corpus
+    ref = list(eng.eval_tokens_iter(toks, window=64))
+    got = list(eng.eval_tokens_iter(toks, window=64, depth=depth))
+    assert [len(b) for b in got] == [len(b) for b in ref]
+    for a, b in zip(got, ref):
+        np.testing.assert_array_equal(a, b)
+    # encode_iter threads depth through identically
+    got_t = list(eng.encode_iter(texts, window=100, depth=depth))
+    ref_t = list(eng.encode_iter(texts, window=100))
+    for a, b in zip(got_t, ref_t):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_depth_validation(eng, corpus):
+    _, toks = corpus
+    with pytest.raises(ValueError):
+        list(eng.eval_tokens_iter(toks, window=64, depth=0))
