@@ -65,8 +65,35 @@ def _load_lib(auto_build: bool = True):
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int32,
     ]
+    lib.q4_repack_stream_tpu.restype = ctypes.c_int32
+    lib.q4_repack_stream_tpu.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
     _lib = lib
     return lib
+
+
+def native_q4_repack(qraw: np.ndarray, n: int, k: int, meta: int):
+    """Fused ggml q4 block stream → (packed[K/2,N], scales[K/32,N],
+    mins-or-None) via csrc/q4repack.cpp; returns None when the native lib
+    is unavailable (caller falls back to numpy). ``qraw`` must be a
+    C-contiguous uint8 array (mmap views from read_ggml qualify)."""
+    lib = _load_lib()
+    if lib is None:
+        return None
+    qraw = np.ascontiguousarray(qraw, dtype=np.uint8)
+    packed = np.empty((k // 2, n), dtype=np.uint8)
+    scales = np.empty((k // 32, n), dtype=np.float32)
+    mins = np.empty((k // 32, n), dtype=np.float32) if meta == 8 else None
+    rc = lib.q4_repack_stream_tpu(
+        qraw.ctypes.data_as(ctypes.c_void_p), n, k, meta,
+        packed.ctypes.data_as(ctypes.c_void_p),
+        scales.ctypes.data_as(ctypes.c_void_p),
+        mins.ctypes.data_as(ctypes.c_void_p) if mins is not None else None)
+    if rc != 0:
+        return None
+    return packed, scales, mins
 
 
 class NativeWordPiece:

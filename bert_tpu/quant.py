@@ -404,8 +404,21 @@ def repack_ggml_stream_tpu(qraw, shape: Tuple[int, int],
     n, k = shape
     if k % GROUP != 0:
         raise ValueError(f"K={k} not a multiple of {GROUP}")
+    if ftype not in (GGML_FTYPE_Q4_0, GGML_FTYPE_Q4_1):
+        raise ValueError(f"not a q4 ftype: {ftype}")
     nblocks = n * (k // QK)
     meta = 4 if ftype == GGML_FTYPE_Q4_0 else 8
+
+    # native single-pass repack (csrc/q4repack.cpp) when the toolchain
+    # built it — one read + one write per byte instead of numpy's ~4
+    # strided passes; bit-exactness pinned by tests/test_native.py
+    from .native import native_q4_repack
+
+    nat = native_q4_repack(qraw, n, k, meta)
+    if nat is not None:
+        packed, scales, mins = nat
+        return QuantTensor(packed=packed, scales=scales, mins=mins)
+
     rec = qraw.reshape(nblocks, meta + 16)
     scales = np.ascontiguousarray(
         rec[:, :4].copy().view(np.float32).reshape(n, k // QK).T)
