@@ -169,14 +169,21 @@ class BertTPU:
             self.params = _shard_params(mesh, loaded.params)
         else:
             self.params = jax.device_put(loaded.params)
-        jax.block_until_ready(self.params)
+        # device_put is ASYNC by design — the transfer streams while the
+        # warmup compiles that follow are in flight (minutes on the
+        # tunnel). Blocking here would serialize load behind transfer, so
+        # only the opt-in profile mode pays for an exact transfer time;
+        # the default records dispatch-side cost and marks it async.
+        profile = os.environ.get("BERT_TPU_LOAD_PROFILE") == "1"
+        if profile:
+            jax.block_until_ready(self.params)
         # consume the loader's per-phase breakdown (module-global, cleared
         # here so an engine built directly from a LoadedModel can never
         # report a PREVIOUS load's parse/repack numbers)
         self.load_phases = dict(LAST_LOAD_PHASES)
         LAST_LOAD_PHASES.clear()
-        self.load_phases["device_put"] = round(
-            _time.perf_counter() - _t0, 3)
+        key = "device_put" if profile else "device_put_dispatch_async"
+        self.load_phases[key] = round(_time.perf_counter() - _t0, 3)
         if self._int8:
             from .params import params_to_int8
 
