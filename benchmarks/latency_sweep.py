@@ -132,7 +132,9 @@ def main() -> None:
         slat = r["server_latency_us"]  # None against a pre-STATS2 server
         sp99 = f"{slat['p99'] / 1e3:.1f} ms" if slat else "—"
         fp99 = f"{lf['p99_ms']} ms" if lf else "—"
-        print(f"| {r['window_ms']} ms | {r['load']} "
+        wlabel = (r["window_ms"] if isinstance(r["window_ms"], str)
+                  else f"{r['window_ms']} ms")
+        print(f"| {wlabel} | {r['load']} "
               f"| {r['sentences_per_sec']} "
               f"| {lt['p50_ms']} ms | {lt['p95_ms']} ms | {lt['p99_ms']} ms "
               f"| {fp99} | {sp99} |")

@@ -58,10 +58,15 @@ FAMILIES = [
 
 
 def newest_bench() -> str:
-    files = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    files = glob.glob(os.path.join(REPO, "BENCH_r*.json"))
     if not files:
         raise SystemExit("no BENCH_r*.json found")
-    return files[-1]
+    # numeric round order (lexical would put r10 before r2)
+    def round_no(p):
+        m = re.search(r"BENCH_r(\d+)", p)
+        return int(m.group(1)) if m else -1
+
+    return max(files, key=round_no)
 
 
 def load_bench(path: str) -> dict:
@@ -117,6 +122,8 @@ def render_readme_block(metrics: dict, source: str) -> str:
         return row["value"] if row else None
 
     head = v("sentences_per_sec_minilm_l6_q4_0")
+    if head is None:
+        raise SystemExit("headline metric missing from the source artifact")
     head_x = metrics["sentences_per_sec_minilm_l6_q4_0"]["vs_baseline"]
     int8 = v("sentences_per_sec_minilm_l6_q4_0_int8wire")
     dev = v("device_side_sentences_per_sec_minilm_l6_q4_0")
