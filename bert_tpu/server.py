@@ -196,9 +196,13 @@ class BatchingScheduler:
             if not fut.done():
                 fut.set_exception(ConnectionError("server shutting down"))
 
-    async def _collect(self) -> List[Tuple[str, asyncio.Future]]:
+    async def _collect(self, batch: List[Tuple[str, asyncio.Future]]
+                       ) -> List[Tuple[str, asyncio.Future]]:
+        """Collect the next micro-batch by APPENDING into ``batch`` (owned
+        by _run): on cancellation mid-collect, _run can still see — and
+        fail — requests already dequeued but never dispatched."""
         first = await self.queue.get()
-        batch = [first]
+        batch.append(first)
         if self.adaptive:
             # take whatever is already queued, then dispatch immediately —
             # the real batching happens in _run's top-up while this batch
@@ -272,21 +276,34 @@ class BatchingScheduler:
     async def _run(self) -> None:
         loop = asyncio.get_running_loop()
         sem = asyncio.Semaphore(self.pipeline_depth)
-        while True:
-            batch = await self._collect()
-            await sem.acquire()
-            if self.adaptive:
-                # everything that queued while this batch waited for the
-                # device slot rides along — batching that cost zero added
-                # latency (the wait was forced either way)
-                while len(batch) < self.max_batch:
-                    try:
-                        batch.append(self.queue.get_nowait())
-                    except asyncio.QueueEmpty:
-                        break
-            task = loop.create_task(self._eval_one_batch(batch, sem))
-            self._inflight.add(task)
-            task.add_done_callback(self._inflight.discard)
+        batch: List[Tuple[str, asyncio.Future]] = []
+        try:
+            while True:
+                batch = []
+                await self._collect(batch)
+                await sem.acquire()
+                if self.adaptive:
+                    # everything that queued while this batch waited for
+                    # the device slot rides along — batching that cost
+                    # zero added latency (the wait was forced either way)
+                    while len(batch) < self.max_batch:
+                        try:
+                            batch.append(self.queue.get_nowait())
+                        except asyncio.QueueEmpty:
+                            break
+                task = loop.create_task(self._eval_one_batch(batch, sem))
+                self._inflight.add(task)
+                task.add_done_callback(self._inflight.discard)
+        except asyncio.CancelledError:
+            # shutdown can land while a collected-but-undispatched batch
+            # waits on the device slot (or mid-collect): those futures
+            # were already dequeued, so stop()'s queue drain would never
+            # see them — fail them here or their clients hang forever
+            for _, fut in batch:
+                if not fut.done():
+                    fut.set_exception(
+                        ConnectionError("server shutting down"))
+            raise
 
 
 class EmbeddingServer:

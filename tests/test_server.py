@@ -574,3 +574,31 @@ def test_adaptive_coalesces_arrivals_while_device_busy(model):
     assert n_batches == 2, f"expected 1+5 coalescing, got {n_batches}"
     ref = model.encode("the store")
     np.testing.assert_allclose(outs[0], ref, atol=1e-5)
+
+
+def test_stop_fails_collected_but_undispatched_requests(model):
+    """Shutdown while a collected batch waits on the pipeline semaphore:
+    those futures were already DEQUEUED, so the stop() queue-drain can't
+    see them — the collector's cancel handler must fail them (a client
+    blocked in submit() would otherwise hang forever)."""
+    from bert_tpu.server import BatchingScheduler
+
+    slow = _SlowEvalModel(model, delay=1.0)
+
+    async def go():
+        sched = BatchingScheduler(slow, max_batch=8)
+        sched.start()
+        first = asyncio.get_running_loop().create_task(
+            sched.submit("the store"))
+        await asyncio.sleep(0.2)   # first dispatched, holds the sem slot
+        second = asyncio.get_running_loop().create_task(
+            sched.submit("don't go"))
+        await asyncio.sleep(0.2)   # second collected, blocked on the slot
+        await sched.stop()
+        with pytest.raises(ConnectionError):
+            await asyncio.wait_for(second, timeout=5)
+        # first was mid-eval → also failed by the in-flight cancel path
+        with pytest.raises(ConnectionError):
+            await asyncio.wait_for(first, timeout=5)
+
+    asyncio.run(go())
