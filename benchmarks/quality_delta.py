@@ -9,8 +9,15 @@ each mode × task: the TPU score, the CPU score, and the delta. Flags any
 |delta| above the threshold (default 0.005 = the reference parity
 budget's 0.5-point resolution on these metrics).
 
-Usage: python benchmarks/quality_delta.py [--threshold 0.005]
+Usage:
+  python benchmarks/quality_delta.py [--threshold 0.005]
+  python benchmarks/quality_delta.py --write-docs   # refresh docs/MTEB.md
 Exit code 1 if any pair exceeds the threshold (usable as a gate).
+
+With --write-docs the tables are spliced into docs/MTEB.md between the
+`<!-- generated:quality-delta -->` markers, same anti-drift contract as
+benchmarks/render_headline.py: the rendered copy is byte-identical to
+this generator's output, so hand-edits inside the block are overwritten.
 """
 import argparse
 import glob
@@ -20,8 +27,14 @@ import sys
 from collections import defaultdict
 
 RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results")
+MTEB_MD = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "docs", "MTEB.md")
 
 MODES = ("f32", "f16", "q4_0", "q4_1", "int8")
+
+BEGIN = ("<!-- generated:quality-delta (benchmarks/quality_delta.py "
+         "--write-docs — edit the results, not this block) -->")
+END = "<!-- generated:quality-delta:end -->"
 
 
 def load_scores():
@@ -51,29 +64,19 @@ def load_scores():
     return out
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--threshold", type=float, default=0.005,
-                    help="flag |TPU-CPU| deltas above this")
-    args = ap.parse_args()
-
-    scores = load_scores()
+def render(scores, threshold):
+    """Returns (markdown lines, worst |delta|, flagged rows)."""
     models = sorted({m for (m, b) in scores if b == "tpu"})
-    if not models:
-        print("no @tpu result dirs found — run the TPU quality sweep first")
-        raise SystemExit(2)
-
-    worst = 0.0
-    flagged = []
+    lines, worst, flagged = [], 0.0, []
     for model in models:
         cpu = scores.get((model, "cpu"), {})
         tpu = scores.get((model, "tpu"), {})
         tasks = sorted({t for m in tpu.values() for t in m})
-        print(f"\n### {model} — TPU (bf16 + Pallas + f16 wire) vs CPU "
-              "(f32 numerics)\n")
-        print("| mode | " + " | ".join(
+        lines += [f"### {model} — TPU (bf16 + Pallas + f16 wire) vs CPU "
+                  "(f32 numerics)", ""]
+        lines.append("| mode | " + " | ".join(
             f"{t} tpu | cpu | Δ" for t in tasks) + " |")
-        print("|" + "---|" * (1 + 3 * len(tasks)))
+        lines.append("|" + "---|" * (1 + 3 * len(tasks)))
         for mode in MODES:
             if mode not in tpu:
                 continue
@@ -87,11 +90,46 @@ def main() -> None:
                     continue
                 d = tv - cv
                 worst = max(worst, abs(d))
-                mark = " ⚠" if abs(d) > args.threshold else ""
-                if abs(d) > args.threshold:
+                mark = " ⚠" if abs(d) > threshold else ""
+                if abs(d) > threshold:
                     flagged.append((model, mode, t, d))
                 cells += [f"{tv:.4f}", f"{cv:.4f}", f"{d:+.4f}{mark}"]
-            print(f"| {mode} | " + " | ".join(cells) + " |")
+            lines.append(f"| {mode} | " + " | ".join(cells) + " |")
+        lines.append("")
+    return models, lines, worst, flagged
+
+
+def write_docs(lines):
+    with open(MTEB_MD) as f:
+        doc = f.read()
+    if BEGIN not in doc or END not in doc:
+        raise SystemExit(f"markers not found in {MTEB_MD} — add\n"
+                         f"{BEGIN}\n{END}\nwhere the tables belong")
+    head, rest = doc.split(BEGIN, 1)
+    _, tail = rest.split(END, 1)
+    block = BEGIN + "\n" + "\n".join(lines).rstrip() + "\n" + END
+    with open(MTEB_MD, "w") as f:
+        f.write(head + block + tail)
+    print(f"wrote {MTEB_MD}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--threshold", type=float, default=0.005,
+                    help="flag |TPU-CPU| deltas above this")
+    ap.add_argument("--write-docs", action="store_true",
+                    help="splice the tables into docs/MTEB.md's "
+                    "generated block")
+    args = ap.parse_args()
+
+    scores = load_scores()
+    models, lines, worst, flagged = render(scores, args.threshold)
+    if not models:
+        print("no @tpu result dirs found — run the TPU quality sweep first")
+        raise SystemExit(2)
+    print("\n".join(lines))
+    if args.write_docs:
+        write_docs(lines)
 
     print(f"\nworst |Δ| = {worst:.4f} (threshold {args.threshold})")
     if flagged:

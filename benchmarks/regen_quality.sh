@@ -1,13 +1,13 @@
 #!/bin/bash
 # Regenerate every committed offline quality result (VERDICT r3 #3/#4):
-#   3 fixture architectures x 5 modes x {STS-en, Emotion k-fold, synthetic STS}
+#   4 fixture architectures x 5 modes x {STS-en, Emotion k-fold, synthetic STS}
 # Runs on whatever backend JAX_PLATFORMS selects (results carry a
 # "backend" provenance field). ~45 evaluator runs; each is a fresh
 # process so a failure never poisons the rest.
 set -u
 cd "$(dirname "$0")/.."
 
-ARCHS=${ARCHS:-"minilm_l6 minilm_l12 bert_base"}
+ARCHS=${ARCHS:-"minilm_l6 minilm_l12 bert_base bge_large"}
 MODES=${MODES:-"f32 f16 q4_0 q4_1 int8"}
 PAIRS=/tmp/pairs.tsv
 
