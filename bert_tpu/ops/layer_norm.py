@@ -66,9 +66,29 @@ def _ln_res_pb_kernel(x_ref, r_ref, pb_ref, s_ref, b_ref, o_ref, *, eps):
     o_ref[:] = (y * s_ref[:] + b_ref[:]).astype(o_ref.dtype)
 
 
+def _pick_tile_m(d: int, itemsize: int, n_in: int, tile_m: int) -> int:
+    """Largest row tile whose VMEM working set fits the ~16 MB scoped
+    limit with headroom: per row the kernel holds the operand blocks
+    (n_in inputs + 1 output) at the storage dtype plus two f32
+    temporaries (the widened sum and the normalized rows). A fixed
+    tm=1024 put the f32 D=1024 residual form at ~20 MB and Mosaic
+    refused it (measured: the packed bge-large f32 LN wanted 17.75 MB);
+    bf16 at the same shape sat at ~14 MB — legal but pressed against
+    the limit. Budget 12 MB so both have slack."""
+    per_row = d * (itemsize * (n_in + 1) + 8)
+    budget = 12 * 1024 * 1024
+    tm = tile_m
+    while tm > 8 and tm * per_row > budget:
+        tm //= 2
+    return tm
+
+
 def _ln_pallas(x2, scale, bias, eps, residual2, pre_bias=None,
                *, tile_m: int = 1024, interpret: bool = False):
     m, d = x2.shape
+    itemsize = jnp.dtype(x2.dtype).itemsize
+    n_in = 1 if residual2 is None else 2
+    tile_m = _pick_tile_m(d, itemsize, n_in, tile_m)
     tm = min(tile_m, _round_up(m, 8))
     mp = _round_up(m, tm)
     if mp != m:
@@ -98,8 +118,6 @@ def _ln_pallas(x2, scale, bias, eps, residual2, pre_bias=None,
         in_specs = [row_spec, row_spec, sb_spec, sb_spec, sb_spec]
         operands = (x2, residual2, pb2, scale2, bias2)
 
-    itemsize = jnp.dtype(x2.dtype).itemsize
-    n_in = 1 if residual2 is None else 2
     out = pl.pallas_call(
         kernel,
         grid=(mp // tm,),

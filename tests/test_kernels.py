@@ -92,7 +92,8 @@ def test_mha_masked_keys_have_no_influence():
 
 
 @pytest.mark.parametrize("m,d,residual", [(8, 64, False), (100, 384, True),
-                                          (1024, 384, False)])
+                                          (1024, 384, False),
+                                          (1040, 1024, True)])
 def test_fused_layer_norm_vs_jnp(m, d, residual):
     from bert_tpu.ops.layer_norm import _ln_pallas, layer_norm_jnp
 
@@ -233,3 +234,23 @@ def test_pick_head_chunk_policy():
 
     # odd head dims with no 128-lane-aligned divisor → per-(b,h) fallback
     assert pick_head_chunk(512, 12, 40, jnp.bfloat16) is None
+
+
+def test_ln_tile_picker_budgets():
+    """_pick_tile_m keeps the per-tile VMEM working set under budget and
+    leaves small/narrow shapes at the full tile (round-5 regression: the
+    f32 D=1024 residual+pre_bias LN OOM'd Mosaic's scoped VMEM)."""
+    from bert_tpu.ops.layer_norm import _pick_tile_m
+
+    budget = 12 * 1024 * 1024
+    for d, itemsize, n_in in [(384, 2, 2), (384, 4, 2), (768, 2, 2),
+                              (768, 4, 2), (1024, 2, 2), (1024, 4, 2),
+                              (1024, 4, 1)]:
+        tm = _pick_tile_m(d, itemsize, n_in, 1024)
+        per_row = d * (itemsize * (n_in + 1) + 8)
+        assert tm * per_row <= budget, (d, itemsize, n_in, tm)
+        assert tm >= 8
+    # the MiniLM hot shape keeps the full tile (no perf change)
+    assert _pick_tile_m(384, 2, 2, 1024) == 1024
+    # the shape that OOM'd gets halved
+    assert _pick_tile_m(1024, 4, 2, 1024) == 512

@@ -123,6 +123,10 @@ def test_mha_pallas_compiled(b, h, t, dh):
     (2048, 384, False, False),
     (2048, 384, True, False),
     (1024, 768, True, True),
+    # packed bge-large epilogue: at f32 this shape needs ~20 MB of VMEM
+    # under the old fixed tm=1024 and Mosaic refused the compile (round-5
+    # sweep); _pick_tile_m must halve the row tile so it fits
+    (12288, 1024, True, True),
 ])
 def test_fused_layer_norm_compiled(dtype, m, d, residual, pre_bias):
     from bert_tpu.ops.layer_norm import _ln_pallas, layer_norm_jnp
