@@ -406,19 +406,24 @@ class BertTPU:
 
     # -- streaming corpus-scale evaluation (VERDICT r2 #3) -------------------
     def eval_tokens_iter(self, token_lists: Sequence[Sequence[int]],
-                         window: int = 4096, depth: int = 2):
+                         window: int = 4096, depth: int = 4):
         """Embed an arbitrarily large pre-tokenized corpus with BOUNDED
         memory: yields [≤window, n_embd] f32 blocks in input order.
 
         At most ``depth`` windows are in flight — windows i+1..i+depth-1
         are dispatched before window i is gathered, so the TPU computes
         (and its result transfers run) ahead while the host materializes
-        results. Residency is O(depth × window). depth=2 is the memory-
-        lean default; on links with a large fixed per-transfer cost (the
-        dev tunnel: ~40 ms/batch) deeper pipelines hide more transfer
-        latency — benchmarks/streaming_probe.py sweeps this. This is the
-        corpus-indexing workload the reference handles with an O(1)-memory
-        per-sentence loop (bert.cpp:1014-1020).
+        results. Residency is O(depth × window). depth=4 is the default:
+        the round-5 window×depth sweep (benchmarks/streaming_probe.py,
+        results/streaming_probe.json) measured depth 1 at 59-85% of the
+        bulk encode rate, depth 2 at 79-126%, and depth ≥4 at ≥99% —
+        on a link with a large fixed per-transfer cost (the dev tunnel:
+        ~40 ms/batch) the deeper pipeline keeps host gather, d2h and
+        device compute all overlapped and BEATS bulk (which drains all
+        transfers in one end-phase). depth=2 remains the memory-lean
+        choice where window memory matters. This is the corpus-indexing
+        workload the reference handles with an O(1)-memory per-sentence
+        loop (bert.cpp:1014-1020).
         """
         from collections import deque
 
@@ -444,7 +449,7 @@ class BertTPU:
         return out
 
     def encode_iter(self, texts: Sequence[str], window: int = 4096,
-                    depth: int = 2):
+                    depth: int = 4):
         """Streaming :meth:`encode_batch`: tokenize AND embed one window at
         a time, yielding [≤window, n_embd] blocks in input order —
         O(depth × window) host memory for any corpus size (see

@@ -64,10 +64,12 @@ def test_encode_iter_matches_encode_batch(eng, corpus):
     np.testing.assert_allclose(blocks[0], ref, atol=1e-6)
 
 
-def test_streaming_bounds_inflight_buffers(eng, corpus):
-    """At most two windows of device buffers live at once: once window
-    i+2 has been dispatched, window i's result arrays must already be
-    collectible (gathered + released)."""
+@pytest.mark.parametrize("depth", [2, 4])
+def test_streaming_bounds_inflight_buffers(eng, corpus, depth):
+    """At most ``depth`` windows of device buffers live at once: once
+    window i+depth has been dispatched, window i's result arrays must
+    already be collectible (gathered + released). depth=4 is the engine
+    default (round-5 probe), depth=2 the memory-lean setting."""
     _, toks = corpus
     window_refs = []
     orig = eng._dispatch_all
@@ -80,11 +82,12 @@ def test_streaming_bounds_inflight_buffers(eng, corpus):
     eng._dispatch_all = spy
     try:
         blocks = []
-        for i, blk in enumerate(eng.eval_tokens_iter(toks, window=32)):
+        for i, blk in enumerate(eng.eval_tokens_iter(toks, window=32,
+                                                     depth=depth)):
             blocks.append(blk)
-            if i >= 2:
+            if i >= depth:
                 gc.collect()
-                dead = [r() is None for r in window_refs[i - 2]]
+                dead = [r() is None for r in window_refs[i - depth]]
                 assert all(dead), (i, dead)
     finally:
         eng._dispatch_all = orig
@@ -104,9 +107,9 @@ def test_streaming_single_window_and_empty(eng, corpus):
 def test_pipeline_depth_matches_default(eng, corpus, depth):
     """Any pipeline depth (VERDICT r4 #3: deeper pipelines hide the
     tunnel's fixed per-transfer cost) must yield the exact same blocks in
-    the same order as the default depth-2 pipeline."""
+    the same order as a depth-2 pipeline."""
     texts, toks = corpus
-    ref = list(eng.eval_tokens_iter(toks, window=64))
+    ref = list(eng.eval_tokens_iter(toks, window=64, depth=2))
     got = list(eng.eval_tokens_iter(toks, window=64, depth=depth))
     assert [len(b) for b in got] == [len(b) for b in ref]
     for a, b in zip(got, ref):
