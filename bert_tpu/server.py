@@ -78,19 +78,30 @@ class BatchingScheduler:
                  queue_depth: Optional[int] = None):
         self.model = model
         self.max_batch = max_batch
-        # "adaptive" (the default) = work-conserving continuous batching:
-        # dispatch the moment a device slot is free (zero added latency at
-        # low load), and while every slot is busy — when waiting costs
-        # nothing — keep absorbing queued requests into the forming batch,
-        # so batch size automatically tracks the arrival rate during one
-        # device step. The r4 latency sweep showed any FIXED window is
-        # wrong on one deployment class (8 ms won both axes on the
-        # high-fixed-cost tunnel link, 0.5 ms won p50 on a CPU host); the
-        # adaptive policy needs no per-deployment tuning. An explicit
-        # numeric batch_window_ms keeps the classic fixed-window behavior.
+        # "adaptive" (the default) = cost-aware continuous batching:
+        # dispatch the moment a device slot is free, and while every slot
+        # is busy — when waiting costs nothing — keep absorbing queued
+        # requests into the forming batch, so batch size tracks the
+        # arrival rate during one device step. On links where a batch-1
+        # step costs nearly as much as a full one (the dev tunnel's ~40 ms
+        # fixed transfer), pure immediate dispatch burns a whole device
+        # slot per sentence at low load — the round-5 sweep measured it at
+        # HALF the 8 ms fixed window's low-load throughput and double its
+        # p50. So when the measured step cost is known AND recent batches
+        # actually carried concurrency (fill EMA ≥ 1.5 — a lone client
+        # never waits), the collector holds the batch for a small fraction
+        # of one step (≤ patience_cap) to let completion-synchronized
+        # arrivals ride together. On a fast device the patience is
+        # microseconds — immediate dispatch in effect; no per-deployment
+        # tuning. An explicit numeric batch_window_ms keeps the classic
+        # fixed-window behavior.
         self.adaptive = batch_window_ms == "adaptive"
         self.batch_window = (0.0 if self.adaptive
                              else float(batch_window_ms) / 1000.0)
+        self._step_ema: Optional[float] = None  # EMA of batch eval seconds
+        self._fill_ema: float = 1.0             # EMA of dispatched batch size
+        self.patience_frac = 0.25   # of one step; class-attr tunables
+        self.patience_cap = 0.020   # seconds
         # bounded queue = backpressure: when ~128 micro-batches of work are
         # already pending, submit() suspends its connection handler instead
         # of buffering unboundedly (a flood of framed BATCH messages would
@@ -204,13 +215,29 @@ class BatchingScheduler:
         first = await self.queue.get()
         batch.append(first)
         if self.adaptive:
-            # take whatever is already queued, then dispatch immediately —
-            # the real batching happens in _run's top-up while this batch
-            # waits (for free) on a busy device slot
+            # take whatever is already queued; then, if the device's step
+            # cost is known and recent batches carried concurrency, hold
+            # for a small fraction of one step so completion-synchronized
+            # low-load arrivals ride together (see __init__); further
+            # batching happens in _run's top-up while this batch waits
+            # (for free) on a busy device slot
             while len(batch) < self.max_batch:
                 try:
                     batch.append(self.queue.get_nowait())
                 except asyncio.QueueEmpty:
+                    break
+            patience = self._adaptive_patience()
+            if patience <= 0 or len(batch) >= self.max_batch:
+                return batch
+            deadline = time.monotonic() + patience
+            while len(batch) < self.max_batch:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    batch.append(await asyncio.wait_for(self.queue.get(),
+                                                        timeout))
+                except asyncio.TimeoutError:
                     break
             return batch
         deadline = time.monotonic() + self.batch_window
@@ -224,6 +251,19 @@ class BatchingScheduler:
             except asyncio.TimeoutError:
                 break
         return batch
+
+    def _adaptive_patience(self) -> float:
+        """How long the adaptive collector may hold an under-full batch.
+
+        Zero until a step time has been measured, and zero while the
+        dispatched-batch-size EMA says requests arrive alone (a lone
+        client must never wait). Otherwise a fraction of one measured
+        step, capped: on the tunnel (~80 ms steps) that's the ~20 ms that
+        lets completion-synchronized clients coalesce; on a fast host
+        it's microseconds — immediate dispatch in effect."""
+        if self._step_ema is None or self._fill_ema < 1.5:
+            return 0.0
+        return min(self.patience_frac * self._step_ema, self.patience_cap)
 
     def _eval_mixed(self, payloads: List[Union[str, List[int]]]) -> np.ndarray:
         """Evaluate a batch that may mix raw texts and pre-tokenized ids."""
@@ -240,6 +280,7 @@ class BatchingScheduler:
     async def _eval_one_batch(self, batch, sem: asyncio.Semaphore) -> None:
         loop = asyncio.get_running_loop()
         payloads = [t for t, _ in batch]
+        t_start = time.monotonic()
         try:
             # evaluation blocks on device results → thread executor,
             # so the event loop keeps accepting/collecting meanwhile
@@ -247,6 +288,9 @@ class BatchingScheduler:
                 None, self._eval_mixed, payloads
             )
             t_done = time.monotonic()
+            step = t_done - t_start
+            self._step_ema = (step if self._step_ema is None
+                              else 0.25 * step + 0.75 * self._step_ema)
             for (_, fut), emb in zip(batch, embs):
                 if not fut.done():
                     fut.set_result(emb)
@@ -291,6 +335,8 @@ class BatchingScheduler:
                             batch.append(self.queue.get_nowait())
                         except asyncio.QueueEmpty:
                             break
+                    self._fill_ema = (0.25 * len(batch)
+                                      + 0.75 * self._fill_ema)
                 task = loop.create_task(self._eval_one_batch(batch, sem))
                 self._inflight.add(task)
                 task.add_done_callback(self._inflight.discard)
