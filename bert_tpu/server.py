@@ -28,6 +28,7 @@ from __future__ import annotations
 import argparse
 import asyncio
 import logging
+import math
 import struct
 import time
 from typing import List, Optional, Sequence, Tuple, Union
@@ -227,10 +228,16 @@ class BatchingScheduler:
                 except asyncio.QueueEmpty:
                     break
             patience = self._adaptive_patience()
-            if patience <= 0 or len(batch) >= self.max_batch:
+            # early exit at the EXPECTED concurrency (fill EMA), not
+            # max_batch: once the completion-synchronized wave is aboard
+            # there is nobody left to wait for, and waiting out the full
+            # patience anyway measured as ~20 ms of dead time per cycle
+            # (round-5 sweep: 55/s vs the 8 ms window's 85/s at low load)
+            expect = math.ceil(self._fill_ema)
+            if patience <= 0 or len(batch) >= min(expect, self.max_batch):
                 return batch
             deadline = time.monotonic() + patience
-            while len(batch) < self.max_batch:
+            while len(batch) < min(expect, self.max_batch):
                 timeout = deadline - time.monotonic()
                 if timeout <= 0:
                     break
