@@ -28,7 +28,6 @@ from __future__ import annotations
 import argparse
 import asyncio
 import logging
-import math
 import struct
 import time
 from typing import List, Optional, Sequence, Tuple, Union
@@ -228,17 +227,19 @@ class BatchingScheduler:
                 except asyncio.QueueEmpty:
                     break
             patience = self._adaptive_patience()
-            # early exit at the EXPECTED concurrency (fill EMA), not
-            # max_batch: once the completion-synchronized wave is aboard
-            # there is nobody left to wait for, and waiting out the full
-            # patience anyway measured as ~20 ms of dead time per cycle
-            # (round-5 sweep: 55/s vs the 8 ms window's 85/s at low load)
-            expect = math.ceil(self._fill_ema)
-            if patience <= 0 or len(batch) >= min(expect, self.max_batch):
+            if patience <= 0 or len(batch) >= self.max_batch:
                 return batch
+            # collect until the arrival wave QUIESCES: completion-
+            # synchronized clients submit within ~a ms of each other, so
+            # a short empty-queue gap means the wave is aboard — exiting
+            # then, rather than waiting out the full patience (20 ms of
+            # dead time per cycle) or stopping at the fill EMA (which a
+            # 2+2 split drags down until fragmentation self-sustains).
+            # The patience cap still bounds the total hold.
+            gap = min(0.25 * patience, 0.005)
             deadline = time.monotonic() + patience
-            while len(batch) < min(expect, self.max_batch):
-                timeout = deadline - time.monotonic()
+            while len(batch) < self.max_batch:
+                timeout = min(gap, deadline - time.monotonic())
                 if timeout <= 0:
                     break
                 try:

@@ -639,7 +639,7 @@ def test_adaptive_patience_coalesces_synchronized_arrivals(model):
         try:
             loop = asyncio.get_running_loop()
             first = loop.create_task(sched.submit("the store"))
-            await asyncio.sleep(0.005)  # arrive within the patience window
+            await asyncio.sleep(0.002)  # arrive within the quiescence gap
             rest = [loop.create_task(sched.submit(f"go to the store {i}"))
                     for i in range(3)]
             outs = await asyncio.gather(first, *rest)
