@@ -79,29 +79,39 @@ class BatchingScheduler:
         self.model = model
         self.max_batch = max_batch
         # "adaptive" (the default) = cost-aware continuous batching:
-        # dispatch the moment a device slot is free, and while every slot
-        # is busy — when waiting costs nothing — keep absorbing queued
-        # requests into the forming batch, so batch size tracks the
-        # arrival rate during one device step. On links where a batch-1
-        # step costs nearly as much as a full one (the dev tunnel's ~40 ms
-        # fixed transfer), pure immediate dispatch burns a whole device
-        # slot per sentence at low load — the round-5 sweep measured it at
-        # HALF the 8 ms fixed window's low-load throughput and double its
-        # p50. So when the measured step cost is known AND recent batches
-        # actually carried concurrency (fill EMA ≥ 1.5 — a lone client
-        # never waits), the collector holds the batch for a small fraction
-        # of one step (≤ patience_cap) to let completion-synchronized
-        # arrivals ride together. On a fast device the patience is
-        # microseconds — immediate dispatch in effect; no per-deployment
-        # tuning. An explicit numeric batch_window_ms keeps the classic
-        # fixed-window behavior.
+        # while every device slot is busy, waiting costs nothing, so the
+        # forming batch absorbs queued arrivals for free and batch size
+        # tracks the arrival rate during one device step. The decisive
+        # moment is when a slot FREES with the batch still under-full:
+        # the batch that just finished set its clients' futures
+        # microseconds ago, and closed-loop clients resubmit within ~a ms
+        # — a completion wave that is in flight but not yet queued.
+        # Dispatching instantly there fragments the wave (a scheduler
+        # trace on the tunneled v5e showed a self-sustaining 1+3 split:
+        # every top-up fired ~1 ms before the wave landed, halving
+        # low-load throughput and doubling p50). So when a step time has
+        # been measured AND arrivals have shown real concurrency (a lone
+        # client never waits — see _concurrency note in _run), the
+        # dispatcher holds the idle slot for ≤ patience (a fraction of
+        # one step, capped) and exits on arrival quiescence: one short
+        # empty gap after the wave is aboard. On a fast device the
+        # patience is microseconds — immediate dispatch in effect; no
+        # per-deployment tuning. An explicit numeric batch_window_ms
+        # keeps the classic fixed-window behavior.
         self.adaptive = batch_window_ms == "adaptive"
         self.batch_window = (0.0 if self.adaptive
                              else float(batch_window_ms) / 1000.0)
         self._step_ema: Optional[float] = None  # EMA of batch eval seconds
-        self._fill_ema: float = 1.0             # EMA of dispatched batch size
+        # EMA of the concurrency indicator: 1.0 when a batch carried ≥2
+        # requests or its first request arrived while a slot was busy
+        # (impossible for a lone closed-loop client, whose previous
+        # request always completes before its next exists). Starts at 0
+        # so the first requests ever seen are never held.
+        self._conc_ema: float = 0.0
         self.patience_frac = 0.25   # of one step; class-attr tunables
         self.patience_cap = 0.020   # seconds
+        self._evals_inflight = 0    # busy device slots (for the indicator)
+        self._first_while_busy = False
         # bounded queue = backpressure: when ~128 micro-batches of work are
         # already pending, submit() suspends its connection handler instead
         # of buffering unboundedly (a flood of framed BATCH messages would
@@ -130,6 +140,15 @@ class BatchingScheduler:
         from collections import deque
 
         self.latencies: deque = deque(maxlen=4096)
+        # per-batch scheduler trace (BERT_TPU_SCHED_TRACE=path.jsonl): one
+        # JSON line per dispatched batch with the collect/slot/eval
+        # timeline — the measurement tool behind the adaptive-window
+        # accounting in docs/PERF.md
+        import os as _os
+
+        trace_path = _os.environ.get("BERT_TPU_SCHED_TRACE")
+        self._trace = open(trace_path, "a") if trace_path else None
+        self._last_collect: dict = {}
 
     async def submit(self, text: str) -> np.ndarray:
         fut: asyncio.Future = asyncio.get_running_loop().create_future()
@@ -214,38 +233,20 @@ class BatchingScheduler:
         fail — requests already dequeued but never dispatched."""
         first = await self.queue.get()
         batch.append(first)
+        # concurrency evidence: a lone closed-loop client's next request
+        # cannot exist while its previous one is still evaluating
+        self._first_while_busy = self._evals_inflight > 0
+        if self._trace is not None:
+            self._last_collect = {"t_first": time.monotonic()}
         if self.adaptive:
-            # take whatever is already queued; then, if the device's step
-            # cost is known and recent batches carried concurrency, hold
-            # for a small fraction of one step so completion-synchronized
-            # low-load arrivals ride together (see __init__); further
-            # batching happens in _run's top-up while this batch waits
-            # (for free) on a busy device slot
+            # take whatever is already queued and return immediately: the
+            # wait on the device slot (in _run) batches further arrivals
+            # for free, and the completion-wave hold happens THERE — at
+            # the slot-free moment, the only place holding buys anything
             while len(batch) < self.max_batch:
                 try:
                     batch.append(self.queue.get_nowait())
                 except asyncio.QueueEmpty:
-                    break
-            patience = self._adaptive_patience()
-            if patience <= 0 or len(batch) >= self.max_batch:
-                return batch
-            # collect until the arrival wave QUIESCES: completion-
-            # synchronized clients submit within ~a ms of each other, so
-            # a short empty-queue gap means the wave is aboard — exiting
-            # then, rather than waiting out the full patience (20 ms of
-            # dead time per cycle) or stopping at the fill EMA (which a
-            # 2+2 split drags down until fragmentation self-sustains).
-            # The patience cap still bounds the total hold.
-            gap = min(0.25 * patience, 0.005)
-            deadline = time.monotonic() + patience
-            while len(batch) < self.max_batch:
-                timeout = min(gap, deadline - time.monotonic())
-                if timeout <= 0:
-                    break
-                try:
-                    batch.append(await asyncio.wait_for(self.queue.get(),
-                                                        timeout))
-                except asyncio.TimeoutError:
                     break
             return batch
         deadline = time.monotonic() + self.batch_window
@@ -261,15 +262,16 @@ class BatchingScheduler:
         return batch
 
     def _adaptive_patience(self) -> float:
-        """How long the adaptive collector may hold an under-full batch.
+        """How long the dispatcher may hold an under-full batch on an
+        idle slot, waiting for the completion wave.
 
         Zero until a step time has been measured, and zero while the
-        dispatched-batch-size EMA says requests arrive alone (a lone
-        client must never wait). Otherwise a fraction of one measured
-        step, capped: on the tunnel (~80 ms steps) that's the ~20 ms that
-        lets completion-synchronized clients coalesce; on a fast host
-        it's microseconds — immediate dispatch in effect."""
-        if self._step_ema is None or self._fill_ema < 1.5:
+        concurrency EMA says requests arrive alone (a lone client must
+        never wait). Otherwise a fraction of one measured step, capped:
+        on the tunnel (~35 ms steps) that's ~9 ms — enough for the ~1 ms
+        client turnaround plus the quiescence gap; on a fast host it's
+        microseconds — immediate dispatch in effect."""
+        if self._step_ema is None or self._conc_ema < 0.25:
             return 0.0
         return min(self.patience_frac * self._step_ema, self.patience_cap)
 
@@ -285,7 +287,8 @@ class BatchingScheduler:
                 toks[i] = t
         return self.model.eval_tokens(toks)
 
-    async def _eval_one_batch(self, batch, sem: asyncio.Semaphore) -> None:
+    async def _eval_one_batch(self, batch, sem: asyncio.Semaphore,
+                              trace: Optional[dict] = None) -> None:
         loop = asyncio.get_running_loop()
         payloads = [t for t, _ in batch]
         t_start = time.monotonic()
@@ -310,6 +313,13 @@ class BatchingScheduler:
             # read healthy during an outage (review r4)
             self.n_served += len(batch)
             self.n_batches += 1
+            if self._trace is not None and trace is not None:
+                import json as _json
+
+                trace.update({"t_eval0": t_start, "t_eval1": t_done,
+                              "n": len(batch)})
+                self._trace.write(_json.dumps(trace) + "\n")
+                self._trace.flush()
         except asyncio.CancelledError:
             # server shutdown mid-eval: fail the batch's clients instead of
             # stranding their futures forever
@@ -323,6 +333,7 @@ class BatchingScheduler:
                 if not fut.done():
                     fut.set_exception(exc)
         finally:
+            self._evals_inflight -= 1
             sem.release()
 
     async def _run(self) -> None:
@@ -333,7 +344,12 @@ class BatchingScheduler:
             while True:
                 batch = []
                 await self._collect(batch)
+                if self._trace is not None:
+                    self._last_collect["t_collect"] = time.monotonic()
+                    self._last_collect["n_collect"] = len(batch)
                 await sem.acquire()
+                if self._trace is not None:
+                    self._last_collect["t_slot"] = time.monotonic()
                 if self.adaptive:
                     # everything that queued while this batch waited for
                     # the device slot rides along — batching that cost
@@ -343,9 +359,39 @@ class BatchingScheduler:
                             batch.append(self.queue.get_nowait())
                         except asyncio.QueueEmpty:
                             break
-                    self._fill_ema = (0.25 * len(batch)
-                                      + 0.75 * self._fill_ema)
-                task = loop.create_task(self._eval_one_batch(batch, sem))
+                    # completion-wave hold (see __init__): the slot is
+                    # free, but the batch that freed it unblocked its
+                    # clients only microseconds ago — their resubmits are
+                    # in flight, not yet queued. Give the wave ≤ patience
+                    # to land, then exit one short empty gap after
+                    # arrivals quiesce (the wave is aboard).
+                    # NOTE the hold can never start before the wave's
+                    # first arrival: _run only reaches this point after
+                    # _collect's blocking get() returned. So every wait
+                    # here is a short straggler gap — one empty gap means
+                    # the wave is aboard — and patience bounds the total.
+                    patience = self._adaptive_patience()
+                    if patience > 0 and len(batch) < self.max_batch:
+                        deadline = time.monotonic() + patience
+                        gap = min(0.25 * patience, 0.002)
+                        while len(batch) < self.max_batch:
+                            timeout = min(gap,
+                                          deadline - time.monotonic())
+                            if timeout <= 0:
+                                break
+                            try:
+                                batch.append(await asyncio.wait_for(
+                                    self.queue.get(), timeout))
+                            except asyncio.TimeoutError:
+                                break
+                    conc = 1.0 if (len(batch) >= 2
+                                   or self._first_while_busy) else 0.0
+                    self._conc_ema = 0.25 * conc + 0.75 * self._conc_ema
+                self._evals_inflight += 1
+                task = loop.create_task(
+                    self._eval_one_batch(batch, sem,
+                                         trace=self._last_collect or None))
+                self._last_collect = {}
                 self._inflight.add(task)
                 task.add_done_callback(self._inflight.discard)
         except asyncio.CancelledError:

@@ -606,19 +606,19 @@ def test_stop_fails_collected_but_undispatched_requests(model):
 
 def test_adaptive_patience_gates():
     """_adaptive_patience is zero until a step time is measured AND the
-    fill EMA shows concurrency (a lone client never waits); otherwise a
-    fraction of one step, capped (round-5 sweep: immediate singleton
-    dispatch onto an ~80 ms fixed-cost step halved low-load throughput
-    vs an 8 ms window)."""
+    concurrency EMA shows requests overlap (a lone client never waits);
+    otherwise a fraction of one step, capped (round-5 sweep: immediate
+    singleton dispatch onto an ~35 ms fixed-cost step halved low-load
+    throughput vs an 8 ms window)."""
     from bert_tpu.server import BatchingScheduler
 
     sched = BatchingScheduler.__new__(BatchingScheduler)
     sched.patience_frac, sched.patience_cap = 0.25, 0.020
-    sched._step_ema, sched._fill_ema = None, 4.0
+    sched._step_ema, sched._conc_ema = None, 1.0
     assert sched._adaptive_patience() == 0.0       # no step measured yet
-    sched._step_ema, sched._fill_ema = 0.080, 1.0
+    sched._step_ema, sched._conc_ema = 0.080, 0.0
     assert sched._adaptive_patience() == 0.0       # lone-client traffic
-    sched._fill_ema = 4.0
+    sched._conc_ema = 1.0
     assert sched._adaptive_patience() == 0.020     # 0.25*80ms capped
     sched._step_ema = 0.004
     assert sched._adaptive_patience() == 0.001     # fast device: ~free
@@ -633,13 +633,14 @@ def test_adaptive_patience_coalesces_synchronized_arrivals(model):
 
     async def go():
         sched = BatchingScheduler(model, max_batch=8)
-        # pretend history: ~80 ms steps, batches of 4 → patience 20 ms
-        sched._step_ema, sched._fill_ema = 0.080, 4.0
+        # pretend history: ~80 ms steps, concurrent arrivals → 20 ms
+        # patience at the slot-free moment
+        sched._step_ema, sched._conc_ema = 0.080, 1.0
         sched.start()
         try:
             loop = asyncio.get_running_loop()
             first = loop.create_task(sched.submit("the store"))
-            await asyncio.sleep(0.002)  # arrive within the quiescence gap
+            await asyncio.sleep(0.0005)  # arrive within the straggler gap
             rest = [loop.create_task(sched.submit(f"go to the store {i}"))
                     for i in range(3)]
             outs = await asyncio.gather(first, *rest)
