@@ -121,23 +121,12 @@ def main() -> None:
         json.dump({"records": records, "seconds": args.seconds,
                    "max_batch": args.max_batch}, f, indent=1)
 
-    # markdown table for docs/PERF.md
-    print("\n| window | load | sent/s | text p50 | p95 | p99 | "
-          "frame p99 | server p99 |")
-    print("|---|---|---|---|---|---|---|---|")
-    for r in records:
-        lt = r["latency_text"] or {"p50_ms": "—", "p95_ms": "—",
-                                   "p99_ms": "—"}
-        lf = r["latency_batch_frame"]
-        slat = r["server_latency_us"]  # None against a pre-STATS2 server
-        sp99 = f"{slat['p99'] / 1e3:.1f} ms" if slat else "—"
-        fp99 = f"{lf['p99_ms']} ms" if lf else "—"
-        wlabel = (r["window_ms"] if isinstance(r["window_ms"], str)
-                  else f"{r['window_ms']} ms")
-        print(f"| {wlabel} | {r['load']} "
-              f"| {r['sentences_per_sec']} "
-              f"| {lt['p50_ms']} ms | {lt['p95_ms']} ms | {lt['p99_ms']} ms "
-              f"| {fp99} | {sp99} |")
+    # markdown table for docs/PERF.md — the SAME formatter
+    # render_headline.py uses to generate the committed blocks
+    sys.path.insert(0, HERE)
+    from render_headline import format_sweep_table
+
+    print("\n" + format_sweep_table(records))
     print(f"\nwrote {args.out}")
 
 

@@ -211,6 +211,51 @@ def render_perf_table(metrics: dict, source: str) -> str:
     return "\n".join(out)
 
 
+def format_sweep_table(records) -> str:
+    """Markdown table for a latency_sweep.py record list — the ONE
+    formatter for both the sweep's stdout and the generated PERF.md
+    blocks (same drift rule as the headline numbers)."""
+    out = ["| window | load | sent/s | text p50 | p95 | p99 | "
+           "frame p99 | server p99 |",
+           "|---|---|---|---|---|---|---|---|"]
+    for r in records:
+        lt = r["latency_text"] or {"p50_ms": "—", "p95_ms": "—",
+                                   "p99_ms": "—"}
+        lf = r["latency_batch_frame"]
+        slat = r["server_latency_us"]  # None against a pre-STATS2 server
+        sp99 = f"{slat['p99'] / 1e3:.1f} ms" if slat else "—"
+        fp99 = f"{lf['p99_ms']} ms" if lf else "—"
+        wlabel = (r["window_ms"] if isinstance(r["window_ms"], str)
+                  else f"{r['window_ms']} ms")
+        out.append(f"| {wlabel} | {r['load']} "
+                   f"| {r['sentences_per_sec']} "
+                   f"| {lt['p50_ms']} ms | {lt['p95_ms']} ms "
+                   f"| {lt['p99_ms']} ms | {fp99} | {sp99} |")
+    return "\n".join(out)
+
+
+def render_latency_block(path: str) -> str:
+    """PERF.md block for one committed latency-sweep artifact."""
+    with open(path) as f:
+        data = json.load(f)
+    src = os.path.relpath(path, REPO)
+    head = (f"Generated from `{src}` by `benchmarks/render_headline.py` "
+            f"({data['seconds']} s per point, max_batch "
+            f"{data['max_batch']}; regenerate, don't hand-edit).")
+    return head + "\n\n" + format_sweep_table(data["records"])
+
+
+# (tag, PERF.md block source) for the committed sweep artifacts; a
+# missing file skips its block so a checkout without one sweep still
+# renders the rest
+LATENCY_SWEEPS = [
+    ("latency-cpu", os.path.join(REPO, "benchmarks", "results",
+                                 "latency_sweep_cpu.json")),
+    ("latency-tpu", os.path.join(REPO, "benchmarks", "results",
+                                 "latency_sweep_tpu.json")),
+]
+
+
 def splice(path: str, tag: str, body: str) -> bool:
     """Replace the marker-delimited block in `path`. Returns True if the
     file content changed."""
@@ -261,11 +306,14 @@ def main() -> None:
 
     readme_block = render_readme_block(metrics, SNAPSHOT)
     perf_block = render_perf_table(metrics, SNAPSHOT)
+    blocks = [(README, "headline", readme_block),
+              (PERF, "model-table", perf_block)]
+    blocks += [(PERF, tag, render_latency_block(p))
+               for tag, p in LATENCY_SWEEPS if os.path.exists(p)]
 
     if args.check:
         drift = []
-        for path, tag, body in ((README, "headline", readme_block),
-                                (PERF, "model-table", perf_block)):
+        for path, tag, body in blocks:
             begin, end = BEGIN.format(tag=tag), END.format(tag=tag)
             with open(path, encoding="utf-8") as f:
                 text = f.read()
@@ -280,9 +328,7 @@ def main() -> None:
         print("headline blocks match the generator")
         return
 
-    changed = [p for p, t, b in ((README, "headline", readme_block),
-                                 (PERF, "model-table", perf_block))
-               if splice(p, t, b)]
+    changed = [p for p, t, b in blocks if splice(p, t, b)]
     print(f"source: {label}")
     print("rewrote: " + (", ".join(changed) if changed else "(no changes)"))
 
