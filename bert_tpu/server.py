@@ -110,6 +110,10 @@ class BatchingScheduler:
         self._conc_ema: float = 0.0
         self.patience_frac = 0.25   # of one step; class-attr tunables
         self.patience_cap = 0.020   # seconds
+        # straggler-gap ceiling: one empty gap ends the wave hold. 2 ms
+        # covers a loopback/LAN client turnaround; raise it for clients
+        # that resubmit over slower links
+        self.gap_cap = 0.002
         self._evals_inflight = 0    # busy device slots (for the indicator)
         self._first_while_busy = False
         # bounded queue = backpressure: when ~128 micro-batches of work are
@@ -373,7 +377,7 @@ class BatchingScheduler:
                     patience = self._adaptive_patience()
                     if patience > 0 and len(batch) < self.max_batch:
                         deadline = time.monotonic() + patience
-                        gap = min(0.25 * patience, 0.002)
+                        gap = min(0.25 * patience, self.gap_cap)
                         while len(batch) < self.max_batch:
                             timeout = min(gap,
                                           deadline - time.monotonic())

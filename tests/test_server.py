@@ -634,13 +634,16 @@ def test_adaptive_patience_coalesces_synchronized_arrivals(model):
     async def go():
         sched = BatchingScheduler(model, max_batch=8)
         # pretend history: ~80 ms steps, concurrent arrivals → 20 ms
-        # patience at the slot-free moment
+        # patience at the slot-free moment; widen the straggler gap so
+        # loop-scheduling jitter on a loaded 1-vCPU box can't race the
+        # late arrivals past it
         sched._step_ema, sched._conc_ema = 0.080, 1.0
+        sched.gap_cap = 0.050
         sched.start()
         try:
             loop = asyncio.get_running_loop()
             first = loop.create_task(sched.submit("the store"))
-            await asyncio.sleep(0.0005)  # arrive within the straggler gap
+            await asyncio.sleep(0.001)  # arrive within the straggler gap
             rest = [loop.create_task(sched.submit(f"go to the store {i}"))
                     for i in range(3)]
             outs = await asyncio.gather(first, *rest)
@@ -651,3 +654,36 @@ def test_adaptive_patience_coalesces_synchronized_arrivals(model):
     outs, n_batches = asyncio.run(go())
     assert len(outs) == 4
     assert n_batches == 1, f"expected one coalesced batch, got {n_batches}"
+
+
+def test_adaptive_heals_fragmented_closed_loop_clients(model):
+    """Two closed-loop clients that start split (1+1) must coalesce: the
+    concurrency indicator (a request arriving while a slot is busy)
+    enables the completion-wave hold even though a 1+1 split's fill EMA
+    never exceeds 1 — the round-5 trace bug class, where a 1+3 split
+    self-sustained because the top-up fired before the completed batch's
+    clients could resubmit."""
+    from bert_tpu.server import BatchingScheduler
+
+    async def go():
+        sched = BatchingScheduler(_SlowEvalModel(model, 0.03), max_batch=8)
+        sched.start()
+        try:
+            async def client(i, n):
+                for k in range(n):
+                    await sched.submit(f"client {i} trip {k} to the store")
+
+            loop = asyncio.get_running_loop()
+            a = loop.create_task(client(0, 8))
+            await asyncio.sleep(0.015)   # land mid-eval: start fragmented
+            b = loop.create_task(client(1, 8))
+            await asyncio.gather(a, b)
+            return sched.n_batches, sched.n_served
+        finally:
+            await sched.stop()
+
+    n_batches, n_served = asyncio.run(go())
+    assert n_served == 16
+    # fully fragmented = 16 singleton batches; healed steady state rides
+    # 2 per batch (~9-10 total with the fragmented prefix)
+    assert n_batches <= 12, f"fragmentation never healed: {n_batches} batches"
