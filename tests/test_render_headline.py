@@ -73,3 +73,43 @@ def test_check_detects_hand_edit(tmp_path):
     finally:
         rh.README, rh.PERF = old_readme, old_perf
         sys.argv = old_argv
+
+
+def test_check_covers_latency_sweep_tables(tmp_path):
+    """The PERF.md latency-sweep tables are generator-owned too (round 5):
+    --check must fail when a sweep table row is hand-edited."""
+    import re
+    import shutil
+
+    sys.path.insert(0, os.path.join(REPO, "benchmarks"))
+    import render_headline as rh
+
+    readme_copy = tmp_path / "README.md"
+    perf_copy = tmp_path / "PERF.md"
+    shutil.copy(rh.README, readme_copy)
+    shutil.copy(rh.PERF, perf_copy)
+    text = perf_copy.read_text()
+    begin = rh.BEGIN.format(tag="latency-tpu")
+    assert begin in text, "latency-tpu markers missing from PERF.md"
+    block_start = text.index(begin)
+    # flip one digit inside the generated TPU table
+    m = re.search(r"\| (\d+\.\d+) \|", text[block_start:])
+    assert m
+    pos = block_start + m.start(1)
+    drifted = text[:pos] + "9999.9" + text[pos + len(m.group(1)):]
+    perf_copy.write_text(drifted)
+
+    old_readme, old_perf = rh.README, rh.PERF
+    old_argv = sys.argv
+    try:
+        rh.README, rh.PERF = str(readme_copy), str(perf_copy)
+        sys.argv = ["render_headline.py", "--check"]
+        try:
+            rh.main()
+            raise AssertionError("--check passed on a hand-edited "
+                                 "latency table")
+        except SystemExit as exc:
+            assert exc.code == 1
+    finally:
+        rh.README, rh.PERF = old_readme, old_perf
+        sys.argv = old_argv
