@@ -97,6 +97,12 @@ EXTRA_ORDER = [m for m in BASELINE_BY_METRIC if m != HEADLINE_METRIC]
 # device step (rows / sentences-per-sec) for the PERF.md model table
 DEVICE_ROWS = {"minilm_l6": 512, "minilm_l12": 512,
                "bert_base": 512, "bge_large": 128}
+# wall-budget estimate per family for one device-side measurement,
+# seconds (build + compile + slope run on a healthy tunnel). Keyed —
+# never zipped positionally against DEVICE_ROWS (review r5: reordering
+# or extending the dict would silently misassign budgets).
+DEVICE_EST_S = {"minilm_l6": 60, "minilm_l12": 90,
+                "bert_base": 120, "bge_large": 240}
 
 
 def log(*a):
@@ -669,8 +675,8 @@ def main() -> None:
     if _stage_enabled("device"):
         # all four families so docs/PERF.md's model table is generated
         # end-to-end from this file's metrics (VERDICT r4 #2)
-        for (name, rows), est in zip(DEVICE_ROWS.items(),
-                                     (60, 90, 120, 240)):
+        for name, rows in DEVICE_ROWS.items():
+            est = DEVICE_EST_S[name]
             m = f"device_side_sentences_per_sec_{name}_q4_0"
             if remaining_s() < est:
                 log(f"device-side {name} skipped (budget)")

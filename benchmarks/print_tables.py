@@ -4,23 +4,16 @@
 cos_sim.spearman for STS tasks, main_score otherwise, plus
 evaluation_time)."""
 import glob
-import json
 import os
 import sys
 from collections import defaultdict
 
-RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results")
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+from results_common import extract_score as extract  # noqa: E402
+from results_common import split_model_mode  # noqa: E402
 
-
-def extract(path):
-    with open(path) as f:
-        data = json.load(f)
-    test = data.get("test", data)
-    if "cos_sim" in test and "spearman" in test.get("cos_sim", {}):
-        score = test["cos_sim"]["spearman"]
-    else:
-        score = test.get("main_score")
-    return score, test.get("evaluation_time")
+RESULTS = os.path.join(HERE, "results")
 
 
 def main(results_dir: str = None) -> None:
@@ -31,12 +24,8 @@ def main(results_dir: str = None) -> None:
     rows = defaultdict(dict)  # model -> mode -> {task: (score, time)}
     for res_dir in sorted(glob.glob(os.path.join(results_dir, "*"))):
         name = os.path.basename(res_dir)
-        for m in known_modes:
-            if name.endswith("_" + m):
-                model, mode = name[: -len(m) - 1], m
-                break
-        else:
-            model, _, mode = name.rpartition("_")
+        split = split_model_mode(name, known_modes)
+        model, mode = split if split else name.rpartition("_")[::2]
         for task_json in glob.glob(os.path.join(res_dir, "*.json")):
             task = os.path.splitext(os.path.basename(task_json))[0]
             rows[model].setdefault(mode, {})[task] = extract(task_json)

@@ -21,14 +21,20 @@ this generator's output, so hand-edits inside the block are overwritten.
 """
 import argparse
 import glob
-import json
 import os
 import sys
 from collections import defaultdict
 
-RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results")
-MTEB_MD = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "docs", "MTEB.md")
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+from results_common import (  # noqa: E402
+    extract_score,
+    splice_markers,
+    split_model_mode,
+)
+
+RESULTS = os.path.join(HERE, "results")
+MTEB_MD = os.path.join(os.path.dirname(HERE), "docs", "MTEB.md")
 
 MODES = ("f32", "f16", "q4_0", "q4_1", "int8")
 
@@ -41,25 +47,16 @@ def load_scores():
     """{(model, backend): {mode: {task: score}}}"""
     out = defaultdict(lambda: defaultdict(dict))
     for res_dir in sorted(glob.glob(os.path.join(RESULTS, "*_*"))):
-        name = os.path.basename(res_dir)
-        for mode in MODES:
-            if name.endswith("_" + mode):
-                model = name[: -len(mode) - 1]
-                break
-        else:
+        split = split_model_mode(os.path.basename(res_dir), MODES)
+        if split is None:
             continue
+        model, mode = split
         backend = "cpu"
         if "@" in model:
             model, backend = model.split("@", 1)
         for task_json in glob.glob(os.path.join(res_dir, "*.json")):
             task = os.path.splitext(os.path.basename(task_json))[0]
-            with open(task_json) as f:
-                data = json.load(f)
-            test = data.get("test", data)
-            if "cos_sim" in test:
-                score = test["cos_sim"]["spearman"]
-            else:
-                score = test.get("main_score")
+            score, _ = extract_score(task_json)
             out[(model, backend)][mode][task] = score
     return out
 
@@ -100,16 +97,7 @@ def render(scores, threshold):
 
 
 def write_docs(lines):
-    with open(MTEB_MD) as f:
-        doc = f.read()
-    if BEGIN not in doc or END not in doc:
-        raise SystemExit(f"markers not found in {MTEB_MD} — add\n"
-                         f"{BEGIN}\n{END}\nwhere the tables belong")
-    head, rest = doc.split(BEGIN, 1)
-    _, tail = rest.split(END, 1)
-    block = BEGIN + "\n" + "\n".join(lines).rstrip() + "\n" + END
-    with open(MTEB_MD, "w") as f:
-        f.write(head + block + tail)
+    splice_markers(MTEB_MD, BEGIN, END, "\n".join(lines))
     print(f"wrote {MTEB_MD}")
 
 

@@ -37,6 +37,8 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from results_common import splice_markers  # noqa: E402
 
 SNAPSHOT = os.path.join(REPO, "benchmarks", "results",
                         "headline_metrics.json")
@@ -163,8 +165,9 @@ def render_readme_block(metrics: dict, source: str) -> str:
     if sweep_bits:
         lines.append("Full sweep: " + ", ".join(sweep_bits) + ".")
     if stream:
-        lines.append(f"Streaming bulk indexing (`encode_iter`, O(window) "
-                     f"memory): {fmt(stream)}/s.")
+        lines.append(f"Streaming bulk indexing (`encode_iter`, "
+                     f"O(depth × window) memory — ~25 MB at the defaults): "
+                     f"{fmt(stream)}/s.")
     lines.append("Kernel-level accounting and floors in "
                  "[docs/PERF.md](docs/PERF.md); request-path internals in "
                  "[docs/INTERNALS.md](docs/INTERNALS.md).")
@@ -259,20 +262,8 @@ LATENCY_SWEEPS = [
 def splice(path: str, tag: str, body: str) -> bool:
     """Replace the marker-delimited block in `path`. Returns True if the
     file content changed."""
-    begin, end = BEGIN.format(tag=tag), END.format(tag=tag)
-    with open(path, encoding="utf-8") as f:
-        text = f.read()
-    pattern = re.compile(re.escape(begin) + r".*?" + re.escape(end),
-                         re.DOTALL)
-    if not pattern.search(text):
-        raise SystemExit(f"{path}: markers for {tag!r} not found "
-                         f"(expected {begin!r} ... {end!r})")
-    new = pattern.sub(lambda _: f"{begin}\n{body}\n{end}", text, count=1)
-    if new != text:
-        with open(path, "w", encoding="utf-8") as f:
-            f.write(new)
-        return True
-    return False
+    return splice_markers(path, BEGIN.format(tag=tag), END.format(tag=tag),
+                          body)
 
 
 def main() -> None:

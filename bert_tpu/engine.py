@@ -160,8 +160,6 @@ class BertTPU:
         # one host→device transfer at init; jit calls then hit by reference
         import time as _time
 
-        from .loader import LAST_LOAD_PHASES
-
         _t0 = _time.perf_counter()
         if mesh is not None:
             from .parallel.spmd import shard_params as _shard_params
@@ -177,11 +175,11 @@ class BertTPU:
         profile = os.environ.get("BERT_TPU_LOAD_PROFILE") == "1"
         if profile:
             jax.block_until_ready(self.params)
-        # consume the loader's per-phase breakdown (module-global, cleared
-        # here so an engine built directly from a LoadedModel can never
-        # report a PREVIOUS load's parse/repack numbers)
-        self.load_phases = dict(LAST_LOAD_PHASES)
-        LAST_LOAD_PHASES.clear()
+        # the loader's per-phase breakdown travels on the LoadedModel, so
+        # an engine can never report a DIFFERENT load's parse/repack
+        # numbers (review r5: the old module-global misattributed them
+        # whenever two loads preceded one engine construction)
+        self.load_phases = dict(getattr(loaded, "load_phases", {}) or {})
         key = "device_put" if profile else "device_put_dispatch_async"
         self.load_phases[key] = round(_time.perf_counter() - _t0, 3)
         if self._int8:

@@ -14,7 +14,7 @@ numeric values equal ggml's per-use dequantization, so quality is identical).
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
@@ -40,13 +40,6 @@ from .quant import (
 )
 from .vocab import Vocab
 
-# Per-phase wall times of the most recent load on this process, seconds
-# (VERDICT r4 #5: bge-large paid ~33 s to first embedding with no
-# breakdown). Keys: parse, emb_dequant, repack, quantize, device_put (the
-# engine adds the last one). Read via BertTPU.stats()["load_phases"].
-LAST_LOAD_PHASES: Dict[str, float] = {}
-
-
 @dataclass
 class LoadedModel:
     config: BertConfig
@@ -56,9 +49,20 @@ class LoadedModel:
     # 1_Pooling config); None = unknown → the engine defaults to mean, the
     # reference's hardcoded behavior (bert.cpp:906-913)
     pooling: Optional[str] = None
+    # per-phase wall times of THIS load, seconds (VERDICT r4 #5: bge-large
+    # paid ~33 s to first embedding with no breakdown). Keys: parse,
+    # emb_dequant, repack, quantize; the engine adds device_put. Travels on
+    # the loaded model — not a module global — so timings can never be
+    # attributed to a different load (review r5). Read via
+    # BertTPU.stats()["load_phases"].
+    load_phases: Dict[str, float] = field(default_factory=dict)
 
 
-def params_from_ggml(mf: GgmlModelFile) -> Tuple[BertConfig, Dict[str, Any]]:
+def params_from_ggml(mf: GgmlModelFile,
+                     phases: Optional[Dict[str, float]] = None
+                     ) -> Tuple[BertConfig, Dict[str, Any]]:
+    if phases is None:
+        phases = {}
     config = BertConfig.from_hparams(mf.hparams)
 
     missing = [n for n in expected_tensor_names(config) if n not in mf.tensors]
@@ -86,7 +90,7 @@ def params_from_ggml(mf: GgmlModelFile) -> Tuple[BertConfig, Dict[str, Any]]:
     emb = {}
     for key, name in _EMB_WEIGHTS.items():
         emb[key] = mf.tensors[name].to_f32()
-    LAST_LOAD_PHASES["emb_dequant"] = round(time.perf_counter() - t0, 3)
+    phases["emb_dequant"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
     h, dh = config.n_head, config.d_head
@@ -141,7 +145,7 @@ def params_from_ggml(mf: GgmlModelFile) -> Tuple[BertConfig, Dict[str, Any]]:
         else:
             layers[key] = np.stack([r.to_f32() for r in recs])
 
-    LAST_LOAD_PHASES["repack"] = round(time.perf_counter() - t0, 3)
+    phases["repack"] = round(time.perf_counter() - t0, 3)
     return config, {"embeddings": emb, "layers": layers}
 
 
@@ -158,10 +162,10 @@ def load_ggml_model(path: str,
                          f"got ftype {quantize_ftype}")
     import time
 
-    LAST_LOAD_PHASES.clear()
+    phases: Dict[str, float] = {}
     t0 = time.perf_counter()
     mf = read_ggml(path)
-    LAST_LOAD_PHASES["parse"] = round(time.perf_counter() - t0, 3)
+    phases["parse"] = round(time.perf_counter() - t0, 3)
     stored_ftype = int(mf.hparams.ftype)
     if (quantize_ftype is not None
             and stored_ftype in (GGML_FTYPE_Q4_0, GGML_FTYPE_Q4_1)
@@ -172,7 +176,7 @@ def load_ggml_model(path: str,
         raise ValueError(
             f"{path} stores ftype {stored_ftype}; refusing a lossy "
             f"requantization to {quantize_ftype}")
-    config, params = params_from_ggml(mf)
+    config, params = params_from_ggml(mf, phases)
     if (quantize_ftype is not None
             and config.ftype not in (GGML_FTYPE_Q4_0, GGML_FTYPE_Q4_1)):
         from .params import quantize_params
@@ -181,9 +185,10 @@ def load_ggml_model(path: str,
         params = quantize_params(params, quantize_ftype)
         config = BertConfig(**{**config.__dict__,
                                "ftype": quantize_ftype})
-        LAST_LOAD_PHASES["quantize"] = round(time.perf_counter() - t0, 3)
+        phases["quantize"] = round(time.perf_counter() - t0, 3)
     vocab = Vocab.from_tokens(mf.vocab_tokens)
-    return LoadedModel(config=config, params=params, vocab=vocab)
+    return LoadedModel(config=config, params=params, vocab=vocab,
+                       load_phases=phases)
 
 
 def _detect_pooling(model_dir: str) -> Optional[str]:

@@ -83,6 +83,11 @@ def native_q4_repack(qraw: np.ndarray, n: int, k: int, meta: int):
     if lib is None:
         return None
     qraw = np.ascontiguousarray(qraw, dtype=np.uint8)
+    # the C side has no buffer-length parameter, so the size contract is
+    # enforced here: n rows × k/32 blocks × (meta scale bytes + 16 nibble
+    # bytes) — an undersized stream would be read out of bounds
+    if k % 32 or qraw.size != n * (k // 32) * (meta + 16):
+        return None
     packed = np.empty((k // 2, n), dtype=np.uint8)
     scales = np.empty((k // 32, n), dtype=np.float32)
     mins = np.empty((k // 32, n), dtype=np.float32) if meta == 8 else None

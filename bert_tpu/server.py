@@ -229,6 +229,9 @@ class BatchingScheduler:
                 break
             if not fut.done():
                 fut.set_exception(ConnectionError("server shutting down"))
+        if self._trace is not None:
+            self._trace.close()
+            self._trace = None
 
     async def _collect(self, batch: List[Tuple[str, asyncio.Future]]
                        ) -> List[Tuple[str, asyncio.Future]]:

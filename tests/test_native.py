@@ -121,7 +121,7 @@ def test_native_repack_matches_numpy(ftype, meta):
         q4_to_ggml_bytes,
     )
 
-    if native_q4_repack(np.zeros(20, np.uint8), 1, 64, 4) is None:
+    if native_q4_repack(np.zeros(40, np.uint8), 1, 64, 4) is None:
         pytest.skip("native lib unavailable")
     rng = np.random.default_rng(11)
     n, k = 96, 320  # non-square, multiple tiles when TILE < n not needed
@@ -150,8 +150,13 @@ def test_native_repack_matches_numpy(ftype, meta):
 def test_native_repack_rejects_bad_args():
     from bert_tpu.native import native_q4_repack
 
-    if native_q4_repack(np.zeros(20, np.uint8), 1, 64, 4) is None:
+    if native_q4_repack(np.zeros(40, np.uint8), 1, 64, 4) is None:
         pytest.skip("native lib unavailable")
-    # k not a multiple of 64 → C returns -1 → None
+    # k not a multiple of 64 → C returns -1 → None (sized correctly so
+    # the size gate doesn't mask the C-side validation)
     assert native_q4_repack(np.zeros(20, np.uint8), 1, 32, 4) is None
-    assert native_q4_repack(np.zeros(20, np.uint8), 1, 64, 5) is None
+    assert native_q4_repack(np.zeros(42, np.uint8), 1, 64, 5) is None
+    # undersized stream must be refused BEFORE the C call reads past the
+    # end (review r5: the old availability probe itself overread 20
+    # bytes past a 20-byte buffer)
+    assert native_q4_repack(np.zeros(39, np.uint8), 1, 64, 4) is None
