@@ -640,7 +640,8 @@ def main() -> None:
             record_error(m, str(exc))
 
     # 3. streaming bulk-indexing rate (engine.encode_iter): the
-    # corpus-scale workload with O(window) memory — must hold ≥~95% of
+    # corpus-scale workload with O(depth × window) memory — should hold
+    # near
     # the bulk rate
     m = "streaming_sentences_per_sec_minilm_l6_q4_0"
     if _stage_enabled("streaming") and remaining_s() <= 120:
