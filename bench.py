@@ -103,6 +103,20 @@ DEVICE_ROWS = {"minilm_l6": 512, "minilm_l12": 512,
 # or extending the dict would silently misassign budgets).
 DEVICE_EST_S = {"minilm_l6": 60, "minilm_l12": 90,
                 "bert_base": 120, "bge_large": 240}
+SWEEP_EST_S = {"minilm_l12": 90, "bert_base": 150, "bge_large": 300}
+
+
+def _staleness_order(names, metric_fmt):
+    """Budget-gated stages measure the family whose LKG row is OLDEST
+    first: a wall squeeze then rotates across families run-to-run
+    instead of always starving the most expensive tail entry (r5: the
+    bge-large rows were the only ones skipped, twice in a row, because
+    they sat last with the biggest estimate)."""
+    def stamp(name):
+        row = _LKG.get(metric_fmt.format(name=name)) or {}
+        return str(row.get("measured_at", ""))
+
+    return sorted(names, key=stamp)
 
 
 def log(*a):
@@ -676,8 +690,9 @@ def main() -> None:
     if _stage_enabled("device"):
         # all four families so docs/PERF.md's model table is generated
         # end-to-end from this file's metrics (VERDICT r4 #2)
-        for name, rows in DEVICE_ROWS.items():
-            est = DEVICE_EST_S[name]
+        for name in _staleness_order(
+                DEVICE_ROWS, "device_side_sentences_per_sec_{name}_q4_0"):
+            rows, est = DEVICE_ROWS[name], DEVICE_EST_S[name]
             m = f"device_side_sentences_per_sec_{name}_q4_0"
             if remaining_s() < est:
                 log(f"device-side {name} skipped (budget)")
@@ -695,8 +710,9 @@ def main() -> None:
     # 5. model sweep e2e (BASELINE.md's sections + the bge-large class the
     # head-chunked kernel targets) — best-effort, budget-gated per model
     if _stage_enabled("sweep"):
-        for name, est in (("minilm_l12", 90), ("bert_base", 150),
-                          ("bge_large", 300)):
+        for name in _staleness_order(SWEEP_EST_S,
+                                     "sentences_per_sec_{name}_q4_0"):
+            est = SWEEP_EST_S[name]
             m = f"sentences_per_sec_{name}_q4_0"
             if remaining_s() < est:
                 log(f"sweep {name} skipped (budget)")
